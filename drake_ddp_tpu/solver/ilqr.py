@@ -1,0 +1,358 @@
+"""Functional iLQR core: one jit-compiled program per (system, config).
+
+TPU-native re-design of the reference solver
+(``IterativeLinearQuadraticRegulator``, reference ilqr.py:12-733):
+
+- the forward rollout + backtracking linesearch (ilqr.py:274-337) is a
+  ``lax.while_loop`` over ``lax.scan`` rollouts,
+- dynamics Jacobians (ilqr.py:233-272) are a single batched ``jax.jacfwd``
+  over the horizon, optionally keypoint-scheduled (see ``keypoints.py``),
+- the Riccati backward pass (ilqr.py:623-667) is a reverse ``lax.scan``
+  with the same update equations (optionally Quu-regularized — the
+  reference uses a plain matrix inverse with no PD check, ilqr.py:655),
+- the outer convergence loop (ilqr.py:692) is a ``lax.while_loop`` with a
+  static iteration bound.
+
+Failure semantics differ deliberately: the reference *raises* on
+infeasible dynamics or linesearch exhaustion (ilqr.py:315-323, 337).  On
+TPU one scenario must not kill a 10k-wide batch, so non-finite costs
+reject the linesearch step and exhaustion sets a per-scenario ``diverged``
+flag.  The whole solver therefore vmaps: ``jax.vmap(solve_ilqr, ...)``
+yields thousands of independent solves per compiled call.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from drake_ddp_tpu.solver import keypoints as kp
+from drake_ddp_tpu.dynamics.base import DiscreteSystem
+
+
+class ILQRConfig(NamedTuple):
+    """Static solver configuration (reference ilqr.py:21-54 kwargs).
+
+    Attributes:
+        num_steps: horizon length N (states x_0..x_{N-1}, controls
+            u_0..u_{N-2}).
+        delta: convergence tolerance on cost improvement (ilqr.py:692).
+        beta: linesearch backtracking factor in (0,1) (ilqr.py:335).
+        gamma: linesearch sufficient-decrease parameter (ilqr.py:331).
+        max_iters: static bound on outer iterations (the reference loop is
+            unbounded; a bound is required for a compiled while_loop's
+            diagnostics buffers).
+        eps_min: linesearch failure threshold (ilqr.py:302).
+        reg: Quu Tikhonov regularization added before the gain solve.  The
+            reference uses none (ilqr.py:655); >0 improves robustness for
+            batched scenarios.
+        derivs: keypoint derivative-interpolation config.
+    """
+
+    num_steps: int
+    delta: float = 1e-2
+    beta: float = 0.95
+    gamma: float = 0.0
+    max_iters: int = 100
+    eps_min: float = 1e-8
+    reg: float = 0.0
+    derivs: kp.DerivsInterpolation = kp.BASELINE
+
+
+class ILQRProblem(NamedTuple):
+    """Dynamic problem data (a pytree — batchable over scenarios).
+
+    Mirrors the reference's Set* API state (ilqr.py:102-159):
+        x0:     (n,) initial state
+        x_nom:  (n,) target state
+        Q:      (n, n) running state cost
+        R:      (m, m) running control cost
+        Qf:     (n, n) terminal state cost
+        u_init: (N-1, m) initial control tape (time-major)
+    """
+
+    x0: jax.Array
+    x_nom: jax.Array
+    Q: jax.Array
+    R: jax.Array
+    Qf: jax.Array
+    u_init: jax.Array
+
+
+class ILQRStats(NamedTuple):
+    """Per-iteration diagnostics (the reference's printed table,
+    ilqr.py:685-704), as fixed-size arrays masked by ``iterations``."""
+
+    cost: jax.Array            # (max_iters,)
+    eps: jax.Array             # (max_iters,)
+    ls_iters: jax.Array        # (max_iters,) int32
+    percent_derivs: jax.Array  # (max_iters,)
+
+
+class ILQRSolution(NamedTuple):
+    """Solver output (reference Solve() return + SaveSolution payload,
+    ilqr.py:669-733)."""
+
+    x: jax.Array           # (N, n) optimal state trajectory
+    u: jax.Array           # (N-1, m) optimal control tape
+    K: jax.Array           # (N-1, m, n) feedback gains
+    kappa: jax.Array       # (N-1, m) feedforward terms
+    cost: jax.Array        # scalar final cost
+    iterations: jax.Array  # int32 outer iterations executed
+    diverged: jax.Array    # bool — linesearch exhausted (reference raises)
+    stats: ILQRStats
+
+
+class _LoopState(NamedTuple):
+    x_bar: jax.Array
+    u_bar: jax.Array
+    kappa: jax.Array
+    K: jax.Array
+    dV_coeff: jax.Array
+    L: jax.Array
+    improvement: jax.Array
+    iteration: jax.Array
+    diverged: jax.Array
+    stats: ILQRStats
+
+
+def _total_cost(prob: ILQRProblem, x: jax.Array, u: jax.Array) -> jax.Array:
+    """sum (x-x_nom)'Q(x-x_nom) + u'Ru over t=0..N-2, + terminal
+    (reference ilqr.py:325-327)."""
+    dx = x[:-1] - prob.x_nom
+    running = jnp.einsum("ti,ij,tj->", dx, prob.Q, dx) + jnp.einsum(
+        "ti,ij,tj->", u, prob.R, u
+    )
+    dxf = x[-1] - prob.x_nom
+    return running + dxf @ prob.Qf @ dxf
+
+
+def _closed_loop_rollout(
+    step: Callable,
+    prob: ILQRProblem,
+    x_bar: jax.Array,
+    u_bar: jax.Array,
+    kappa: jax.Array,
+    K: jax.Array,
+    eps: jax.Array,
+):
+    """Roll out u = u_bar - eps*kappa - K (x - x_bar) (reference
+    ilqr.py:305-327) and return (x, u, L)."""
+
+    def body(x_t, inputs):
+        u_bar_t, x_bar_t, kappa_t, K_t = inputs
+        u_t = u_bar_t - eps * kappa_t - K_t @ (x_t - x_bar_t)
+        x_next = step(x_t, u_t)
+        return x_next, (x_next, u_t)
+
+    _, (xs, us) = jax.lax.scan(body, prob.x0, (u_bar, x_bar[:-1], kappa, K))
+    x = jnp.concatenate([prob.x0[None], xs], axis=0)
+    L = _total_cost(prob, x, us)
+    # Infeasible / blown-up dynamics => infinite cost (reference treats a
+    # dynamics exception as L = inf, ilqr.py:315-323).
+    L = jnp.where(jnp.isfinite(L), L, jnp.inf)
+    return x, us, L
+
+
+def _linesearch(
+    step: Callable,
+    cfg: ILQRConfig,
+    prob: ILQRProblem,
+    state: _LoopState,
+):
+    """Backtracking linesearch on eps (reference ilqr.py:274-337).
+
+    Returns (eps, x, u, L, n_iters, failed).  ``failed`` replaces the
+    reference's RuntimeError so a batched solve can mask out the scenario.
+    """
+    dtype = state.x_bar.dtype
+
+    def trial(eps):
+        x, u, L = _closed_loop_rollout(
+            step, prob, state.x_bar, state.u_bar, state.kappa, state.K, eps
+        )
+        # expected cost reduction sum_t -eps (1 - eps/2) dV_coeff[t]
+        # (reference ilqr.py:326).
+        expected = jnp.sum(-eps * (1.0 - eps / 2.0) * state.dV_coeff)
+        improvement = state.L - L
+        accept = improvement > cfg.gamma * expected
+        return x, u, L, accept
+
+    def cond(carry):
+        eps, n_iters, accepted, *_ = carry
+        return jnp.logical_and(~accepted, eps >= cfg.eps_min)
+
+    def body(carry):
+        eps, n_iters, _, x, u, L = carry
+        x, u, L, accept = trial(eps)
+        eps_next = jnp.where(accept, eps, eps * cfg.beta)
+        return (eps_next, n_iters + 1, accept, x, u, L)
+
+    eps0 = jnp.asarray(1.0, dtype)
+    init = (
+        eps0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        state.x_bar,
+        state.u_bar,
+        jnp.asarray(jnp.inf, dtype),
+    )
+    eps, n_iters, accepted, x, u, L = jax.lax.while_loop(cond, body, init)
+    return eps, x, u, L, n_iters, ~accepted
+
+
+def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
+    """Riccati sweep (reference ilqr.py:623-667) as a reverse lax.scan.
+
+    Uses the reference's exact update equations (Gauss-Newton iLQR with
+    first-order dynamics only), with a linear solve instead of an explicit
+    inverse and optional Tikhonov regularization on Quu.
+    """
+    n = x_bar.shape[-1]
+    m = u_bar.shape[-1]
+    x_nom, Q, R, Qf = prob.x_nom, prob.Q, prob.R, prob.Qf
+
+    Vx0 = 2.0 * Qf @ (x_bar[-1] - x_nom)
+    Vxx0 = 2.0 * Qf
+    eye_m = jnp.eye(m, dtype=x_bar.dtype)
+
+    def body(carry, inputs):
+        Vx, Vxx = carry
+        x, u, fx_t, fu_t = inputs
+        # Cost partials (reference ilqr.py:161-186).
+        lx = 2.0 * Q @ (x - x_nom)
+        lu = 2.0 * R @ u
+        # Q-function terms (reference ilqr.py:651-656).
+        fxT_Vxx = fx_t.T @ Vxx
+        Qx = lx + fx_t.T @ Vx
+        Qu = lu + fu_t.T @ Vx
+        Qxx = 2.0 * Q + fxT_Vxx @ fx_t
+        Quu = 2.0 * R + fu_t.T @ Vxx @ fu_t + cfg.reg * eye_m
+        Qux = fu_t.T @ Vxx @ fx_t
+        # Gains via one (m, 1+n) solve (reference ilqr.py:659-660 uses
+        # an explicit inverse).
+        rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
+        sol = jnp.linalg.solve(Quu, rhs)
+        kappa_t = sol[:, 0]
+        K_t = sol[:, 1:]
+        dV_t = Qu @ kappa_t  # Qu' Quu^-1 Qu (ilqr.py:663)
+        # Value update (reference ilqr.py:666-667).
+        Vx_new = Qx - Qux.T @ kappa_t
+        Vxx_new = Qxx - Qux.T @ K_t
+        return (Vx_new, Vxx_new), (kappa_t, K_t, dV_t)
+
+    (_, _), (kappa, K, dV) = jax.lax.scan(
+        body,
+        (Vx0, Vxx0),
+        (x_bar[:-1], u_bar, fx, fu),
+        reverse=True,
+    )
+    return kappa, K, dV
+
+
+def solve_ilqr(
+    system: DiscreteSystem,
+    cfg: ILQRConfig,
+    prob: ILQRProblem,
+) -> ILQRSolution:
+    """Run the full iLQR outer loop (reference Solve(), ilqr.py:669-710).
+
+    Pure function of (system.params, prob); jit/vmap over ``prob`` (and
+    ``system.params``) for scenario batching.  Compile once per
+    (step_fn, cfg) pair.
+    """
+    cfg.derivs.validate()
+    step = system.bound_step()
+    N = cfg.num_steps
+    n, m = prob.x0.shape[-1], prob.u_init.shape[-1]
+    dtype = prob.x0.dtype
+
+    derivs_fn = partial(kp.compute_derivatives, step, cfg.derivs)
+
+    def forward_and_backward(state: _LoopState) -> _LoopState:
+        # Forward pass: linesearch + derivative computation
+        # (reference ilqr.py:339-378).
+        eps, x, u, L_new, ls_iters, failed = _linesearch(step, cfg, prob, state)
+
+        fx, fu, percent = derivs_fn(x, u)
+        kappa, K, dV = _backward_pass(cfg, prob, x, u, fx, fu)
+
+        it = state.iteration
+        stats = ILQRStats(
+            cost=state.stats.cost.at[it].set(L_new),
+            eps=state.stats.eps.at[it].set(eps),
+            ls_iters=state.stats.ls_iters.at[it].set(ls_iters),
+            percent_derivs=state.stats.percent_derivs.at[it].set(percent),
+        )
+        improvement = state.L - L_new
+
+        committed = _LoopState(
+            x_bar=x,
+            u_bar=u,
+            kappa=kappa,
+            K=K,
+            dV_coeff=dV,
+            L=L_new,
+            improvement=improvement,
+            iteration=it + 1,
+            diverged=jnp.asarray(False),
+            stats=stats,
+        )
+        # On linesearch failure keep the previous iterate.  If the
+        # expected improvement is already below delta the iterate is at a
+        # local optimum — report convergence, not divergence.  (The
+        # reference raises RuntimeError in both situations, ilqr.py:337;
+        # an LQR-exact problem converges in one backward pass and would
+        # trip that raise.)
+        at_optimum = jnp.sum(state.dV_coeff) <= cfg.delta
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(failed, b, a), new, old
+        )
+        out = keep(committed, state)
+        return out._replace(
+            diverged=failed & ~at_optimum,
+            iteration=it + 1,
+            improvement=jnp.where(failed, jnp.asarray(0.0, dtype), improvement),
+        )
+
+    def cond(state: _LoopState):
+        return (
+            (state.improvement > cfg.delta)
+            & (state.iteration < cfg.max_iters)
+            & ~state.diverged
+        )
+
+    stats0 = ILQRStats(
+        cost=jnp.zeros(cfg.max_iters, dtype),
+        eps=jnp.zeros(cfg.max_iters, dtype),
+        ls_iters=jnp.zeros(cfg.max_iters, jnp.int32),
+        percent_derivs=jnp.zeros(cfg.max_iters, dtype),
+    )
+    init = _LoopState(
+        x_bar=jnp.zeros((N, n), dtype),
+        u_bar=prob.u_init.astype(dtype),
+        kappa=jnp.zeros((N - 1, m), dtype),
+        K=jnp.zeros((N - 1, m, n), dtype),
+        dV_coeff=jnp.zeros(N - 1, dtype),
+        L=jnp.asarray(jnp.inf, dtype),
+        improvement=jnp.asarray(jnp.inf, dtype),
+        iteration=jnp.asarray(0, jnp.int32),
+        diverged=jnp.asarray(False),
+        stats=stats0,
+    )
+
+    final = jax.lax.while_loop(cond, forward_and_backward, init)
+    return ILQRSolution(
+        x=final.x_bar,
+        u=final.u_bar,
+        K=final.K,
+        kappa=final.kappa,
+        cost=final.L,
+        iterations=final.iteration,
+        diverged=final.diverged,
+        stats=final.stats,
+    )
