@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from drake_ddp_tpu.dynamics.base import DiscreteSystem
+from drake_ddp_tpu.utils.linalg import solve_spd
 
 
 def _semi_implicit_euler(q, v, vdot, dt):
@@ -95,7 +96,7 @@ def cart_pole_system(dt: float, params: CartPoleParams | None = None) -> Discret
             mp * g * l * s,                      # gravity torque on pole
         ])
         tau = jnp.array([u[0], 0.0])
-        vdot = jnp.linalg.solve(M, tau - bias)
+        vdot = solve_spd(M, tau - bias)
         return _semi_implicit_euler(q, v, vdot, dt)
 
     return DiscreteSystem(step_fn=step, params=p, n=4, m=1, dt=dt)
@@ -156,7 +157,7 @@ def acrobot_system(dt: float, params: AcrobotParams | None = None) -> DiscreteSy
             -m2 * g * lc2 * s12,
         ])
         tau = jnp.array([0.0, u[0]])
-        vdot = jnp.linalg.solve(M, tau + tau_g - C_v)
+        vdot = solve_spd(M, tau + tau_g - C_v)
         return _semi_implicit_euler(q, v, vdot, dt)
 
     return DiscreteSystem(step_fn=step, params=p, n=4, m=1, dt=dt)

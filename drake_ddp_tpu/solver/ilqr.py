@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from drake_ddp_tpu.solver import keypoints as kp
 from drake_ddp_tpu.dynamics.base import DiscreteSystem
+from drake_ddp_tpu.utils.linalg import solve_spd
 
 
 class ILQRConfig(NamedTuple):
@@ -51,6 +52,13 @@ class ILQRConfig(NamedTuple):
             reference uses none (ilqr.py:655); >0 improves robustness for
             batched scenarios.
         derivs: keypoint derivative-interpolation config.
+        ls_parallel: linesearch candidates evaluated per vectorized
+            rollout.  The reference tries one eps at a time (ilqr.py:302);
+            on TPU the sequential rollout is latency-bound, so evaluating a
+            chunk of the eps schedule {1, beta, beta^2, ...} in one scan
+            (an extra leading batch axis) cuts sequential depth by ~this
+            factor with identical accepted-eps semantics.  1 reproduces the
+            reference's trial-at-a-time schedule.
     """
 
     num_steps: int
@@ -61,6 +69,7 @@ class ILQRConfig(NamedTuple):
     eps_min: float = 1e-8
     reg: float = 0.0
     derivs: kp.DerivsInterpolation = kp.BASELINE
+    ls_parallel: int = 8
 
 
 class ILQRProblem(NamedTuple):
@@ -131,31 +140,40 @@ def _total_cost(prob: ILQRProblem, x: jax.Array, u: jax.Array) -> jax.Array:
     return running + dxf @ prob.Qf @ dxf
 
 
-def _closed_loop_rollout(
+def _chunk_rollout(
     step: Callable,
     prob: ILQRProblem,
-    x_bar: jax.Array,
-    u_bar: jax.Array,
-    kappa: jax.Array,
-    K: jax.Array,
-    eps: jax.Array,
+    state: _LoopState,
+    eps_vec: jax.Array,
 ):
-    """Roll out u = u_bar - eps*kappa - K (x - x_bar) (reference
-    ilqr.py:305-327) and return (x, u, L)."""
+    """Closed-loop rollouts for a whole vector of eps candidates in ONE
+    scan over the horizon (candidate axis vectorized).
+
+    Returns x: (C, N, n), u: (C, N-1, m), L: (C,).
+    """
+    C = eps_vec.shape[0]
 
     def body(x_t, inputs):
+        # x_t: (C, n)
         u_bar_t, x_bar_t, kappa_t, K_t = inputs
-        u_t = u_bar_t - eps * kappa_t - K_t @ (x_t - x_bar_t)
-        x_next = step(x_t, u_t)
+        u_t = (
+            u_bar_t[None, :]
+            - eps_vec[:, None] * kappa_t[None, :]
+            - (x_t - x_bar_t[None, :]) @ K_t.T
+        )
+        x_next = jax.vmap(step)(x_t, u_t)
         return x_next, (x_next, u_t)
 
-    _, (xs, us) = jax.lax.scan(body, prob.x0, (u_bar, x_bar[:-1], kappa, K))
-    x = jnp.concatenate([prob.x0[None], xs], axis=0)
-    L = _total_cost(prob, x, us)
-    # Infeasible / blown-up dynamics => infinite cost (reference treats a
-    # dynamics exception as L = inf, ilqr.py:315-323).
+    x0 = jnp.broadcast_to(prob.x0, (C,) + prob.x0.shape)
+    _, (xs, us) = jax.lax.scan(
+        body, x0, (state.u_bar, state.x_bar[:-1], state.kappa, state.K)
+    )
+    x = jnp.concatenate([x0[None], xs], axis=0)  # (N, C, n)
+    x = jnp.moveaxis(x, 1, 0)                    # (C, N, n)
+    u = jnp.moveaxis(us, 1, 0)                   # (C, N-1, m)
+    L = jax.vmap(lambda xc, uc: _total_cost(prob, xc, uc))(x, u)
     L = jnp.where(jnp.isfinite(L), L, jnp.inf)
-    return x, us, L
+    return x, u, L
 
 
 def _linesearch(
@@ -166,43 +184,63 @@ def _linesearch(
 ):
     """Backtracking linesearch on eps (reference ilqr.py:274-337).
 
+    The accepted eps is the first (largest) entry of the schedule
+    {1, beta, beta^2, ...} with improvement > gamma * expected — exactly
+    the reference's choice — but candidates are evaluated ``ls_parallel``
+    at a time in one vectorized rollout (see ILQRConfig.ls_parallel).
+
     Returns (eps, x, u, L, n_iters, failed).  ``failed`` replaces the
     reference's RuntimeError so a batched solve can mask out the scenario.
     """
     dtype = state.x_bar.dtype
+    C = max(1, int(cfg.ls_parallel))
+    beta = jnp.asarray(cfg.beta, dtype)
+    powers = beta ** jnp.arange(C, dtype=dtype)       # [1, b, ..., b^(C-1)]
+    chunk_factor = beta ** jnp.asarray(C, dtype)
+    dV_sum = jnp.sum(state.dV_coeff)
 
-    def trial(eps):
-        x, u, L = _closed_loop_rollout(
-            step, prob, state.x_bar, state.u_bar, state.kappa, state.K, eps
-        )
-        # expected cost reduction sum_t -eps (1 - eps/2) dV_coeff[t]
-        # (reference ilqr.py:326).
-        expected = jnp.sum(-eps * (1.0 - eps / 2.0) * state.dV_coeff)
+    def chunk(eps_start):
+        eps_vec = eps_start * powers
+        x, u, L = _chunk_rollout(step, prob, state, eps_vec)
+        # expected reduction sum_t -eps (1-eps/2) dV_coeff[t] (ilqr.py:326)
+        expected = -eps_vec * (1.0 - eps_vec / 2.0) * dV_sum
         improvement = state.L - L
-        accept = improvement > cfg.gamma * expected
-        return x, u, L, accept
+        accept = (improvement > cfg.gamma * expected) & (eps_vec >= cfg.eps_min)
+        found = jnp.any(accept)
+        idx = jnp.argmax(accept)  # first True = largest acceptable eps
+        return found, idx, eps_vec[idx], x[idx], u[idx], L[idx]
 
     def cond(carry):
-        eps, n_iters, accepted, *_ = carry
-        return jnp.logical_and(~accepted, eps >= cfg.eps_min)
+        eps_start, k, found, *_ = carry
+        return ~found & (eps_start >= cfg.eps_min)
 
     def body(carry):
-        eps, n_iters, _, x, u, L = carry
-        x, u, L, accept = trial(eps)
-        eps_next = jnp.where(accept, eps, eps * cfg.beta)
-        return (eps_next, n_iters + 1, accept, x, u, L)
+        eps_start, k, _, _, _eps, x, u, L = carry
+        found, idx, eps_sel, x_sel, u_sel, L_sel = chunk(eps_start)
+        n_iters = k * C + idx + 1
+        return (
+            eps_start * chunk_factor,
+            k + 1,
+            found,
+            n_iters.astype(jnp.int32),
+            eps_sel,
+            x_sel,
+            u_sel,
+            L_sel,
+        )
 
-    eps0 = jnp.asarray(1.0, dtype)
     init = (
-        eps0,
+        jnp.asarray(1.0, dtype),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(1.0, dtype),
         state.x_bar,
         state.u_bar,
         jnp.asarray(jnp.inf, dtype),
     )
-    eps, n_iters, accepted, x, u, L = jax.lax.while_loop(cond, body, init)
-    return eps, x, u, L, n_iters, ~accepted
+    _, k, found, n_iters, eps, x, u, L = jax.lax.while_loop(cond, body, init)
+    return eps, x, u, L, n_iters, ~found
 
 
 def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
@@ -234,9 +272,11 @@ def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
         Quu = 2.0 * R + fu_t.T @ Vxx @ fu_t + cfg.reg * eye_m
         Qux = fu_t.T @ Vxx @ fx_t
         # Gains via one (m, 1+n) solve (reference ilqr.py:659-660 uses
-        # an explicit inverse).
+        # an explicit inverse; solve_spd is a TPU-fusable closed-form /
+        # unrolled-Cholesky solve — LU custom calls cost ~1.5 ms each
+        # inside a scan).
         rhs = jnp.concatenate([Qu[:, None], Qux], axis=1)
-        sol = jnp.linalg.solve(Quu, rhs)
+        sol = solve_spd(Quu, rhs)
         kappa_t = sol[:, 0]
         K_t = sol[:, 1:]
         dV_t = Qu @ kappa_t  # Qu' Quu^-1 Qu (ilqr.py:663)
