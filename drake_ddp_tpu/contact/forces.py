@@ -1,0 +1,59 @@
+"""Smooth hydroelastic-style contact force law.
+
+Replaces Drake's hydroelastic pressure-field integration (SURVEY.md D3)
+with a closed-form, everywhere-smooth force on each candidate contact —
+the property iLQR actually needs (the reference's paper point is that
+hydroelastic contact yields smooth dynamics an optimizer can
+differentiate through; we re-derive the same *shape* of force directly):
+
+- normal force magnitude ~ 2*pi*E*phi^2: the analytic resultant of a
+  compliant-sphere pressure field p = E*(1 - dist/r) penetrating a rigid
+  surface by phi (quadratic in penetration, like hydroelastic).
+- penetration is smoothed with a softplus of width ``smooth_width`` so a
+  small gradient exists slightly before touchdown (gives the optimizer a
+  'force at a distance' signal to discover contact sequences).
+- Hunt-Crossley dissipation factor (1 - d * vn)+, smoothed.
+- regularized Coulomb friction: -mu*fn * vt / sqrt(|vt|^2 + vs^2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ContactForceParams(NamedTuple):
+    smooth_width: float = 1e-3      # [m] softplus width for penetration
+    stiction_vel: float = 1e-3      # [m/s] friction regularization
+    force_scale: float = 2.0 * jnp.pi  # resultant constant (see docstring)
+
+
+def smooth_penetration(phi: jax.Array, width: float) -> jax.Array:
+    """softplus(phi/width)*width: ~phi when deep, smooth near 0."""
+    return jax.nn.softplus(phi / width) * width
+
+
+def smooth_relu(x: jax.Array, eps: float = 1e-3) -> jax.Array:
+    return 0.5 * (x + jnp.sqrt(x * x + eps * eps))
+
+
+def contact_forces(
+    phi: jax.Array,      # (NC,) penetration (positive = contact)
+    normal: jax.Array,   # (NC, 3) unit normal (force on body A along +n)
+    v_rel: jax.Array,    # (NC, 3) velocity of A's contact point rel. B
+    E: jax.Array,        # (NC,) combined modulus
+    d: jax.Array,        # (NC,) combined Hunt-Crossley dissipation
+    mu: jax.Array,       # (NC,) combined friction
+    params: ContactForceParams = ContactForceParams(),
+) -> jax.Array:
+    """World-frame force on body A at each candidate contact: (NC, 3)."""
+    phi_s = smooth_penetration(phi, params.smooth_width)
+    vn = jnp.einsum("ci,ci->c", v_rel, normal)      # separation rate > 0
+    fn = params.force_scale * E * phi_s * phi_s
+    fn = fn * smooth_relu(1.0 - d * vn)
+    vt = v_rel - vn[:, None] * normal
+    vt_norm = jnp.sqrt(jnp.einsum("ci,ci->c", vt, vt) + params.stiction_vel**2)
+    ft = -(mu * fn / vt_norm)[:, None] * vt
+    return fn[:, None] * normal + ft

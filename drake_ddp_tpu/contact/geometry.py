@@ -1,0 +1,349 @@
+"""Collision geometry: host-side scene description -> flat contact arrays.
+
+TPU-native replacement for Drake's SceneGraph + hydroelastic engine
+(SURVEY.md D3).  Design: every *body-attached* collision geometry is
+decomposed into spheres (a sphere is itself; cylinders become a line of
+spheres; boxes become corner spheres) so that all narrowphase tests are
+sphere-vs-{halfspace, world box, sphere} — closed-form signed distances
+that vectorize trivially.  World-fixed geometries (ground planes, walls)
+stay analytic.
+
+Pair enumeration and collision filtering (Drake's
+CollisionFilterDeclaration, kinova_gen3.py:127-154) happen on the host at
+model-build time; the device sees fixed-size arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPHERE = "sphere"
+BOX = "box"
+CYLINDER = "cylinder"
+HALFSPACE = "halfspace"
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactProps:
+    """Hydroelastic-style material properties (per geometry).
+
+    Mirrors the knobs the reference sets via Drake proximity properties
+    (cart_pole_with_wall.py:46-49, kinova_gen3.py:91-96,
+    mini_cheetah.py:78-80 and the drake: URDF tags):
+        modulus: hydroelastic modulus E [Pa]; np.inf = rigid.
+        dissipation: Hunt-Crossley dissipation [s/m].
+        mu_static / mu_dynamic: Coulomb friction coefficients.
+        resolution_hint: kept for parity (unused by the smooth model).
+    """
+
+    modulus: float = 5e6
+    dissipation: float = 0.0
+    mu_static: float = 0.6
+    mu_dynamic: float = 0.5
+    resolution_hint: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class CollisionGeometry:
+    """One collision geometry, attached to a body or the world (body=-1)."""
+
+    body: int
+    kind: str                      # sphere | box | cylinder | halfspace
+    pos: np.ndarray                # offset in body frame (world frame if body=-1)
+    rot: np.ndarray                # 3x3 orientation in body frame
+    size: np.ndarray               # sphere: [r]; box: [hx,hy,hz] (half);
+                                   # cylinder: [r, half_length] (axis=z);
+                                   # halfspace: unused (normal = rot @ z)
+    props: ContactProps = ContactProps()
+    name: str = ""
+
+
+class GeometrySet:
+    """Host-side scene: add geometries, filter pairs, build device arrays."""
+
+    def __init__(self):
+        self.geoms: List[CollisionGeometry] = []
+        self._filtered: List[Tuple[int, int]] = []   # excluded geometry pairs
+        self._filtered_bodies: List[Tuple[int, int]] = []
+
+    def add(self, geom: CollisionGeometry) -> int:
+        self.geoms.append(geom)
+        return len(self.geoms) - 1
+
+    def exclude_pair(self, gi: int, gj: int):
+        self._filtered.append((min(gi, gj), max(gi, gj)))
+
+    def exclude_body_pair(self, bi: int, bj: int):
+        """Collision filter between two bodies (Drake ExcludeBetween)."""
+        self._filtered_bodies.append((min(bi, bj), max(bi, bj)))
+
+
+def _decompose_to_spheres(g: CollisionGeometry):
+    """Approximate a body-attached geometry by spheres in the body frame.
+
+    Returns list of (offset (3,), radius).  Cylinder: spheres of the
+    cylinder radius along the axis; box: 8 corner spheres of radius
+    min(half)/2 inset so they inscribe the box faces approximately.
+    """
+    if g.kind == SPHERE:
+        return [(g.pos, float(g.size[0]))]
+    if g.kind == CYLINDER:
+        r, hl = float(g.size[0]), float(g.size[1])
+        n = max(2, int(np.ceil(2 * hl / max(r, 1e-6))) + 1)
+        n = min(n, 6)
+        zs = np.linspace(-max(hl - r, 0.0), max(hl - r, 0.0), n)
+        axis = g.rot @ np.array([0.0, 0.0, 1.0])
+        return [(g.pos + z * axis, r) for z in zs]
+    if g.kind == BOX:
+        hx, hy, hz = [float(s) for s in g.size]
+        r = 0.5 * min(hx, hy, hz)
+        out = []
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                for sz in (-1, 1):
+                    local = np.array([sx * (hx - r), sy * (hy - r), sz * (hz - r)])
+                    out.append((g.pos + g.rot @ local, r))
+        return out
+    raise ValueError(f"cannot decompose {g.kind} attached to a body")
+
+
+class ContactModel(NamedTuple):
+    """Flat device-side contact arrays (all leading dims static).
+
+    Spheres (body-attached): ns entries.  World primitives: halfspaces
+    (nh) and boxes (nb_box).  Candidate pairs are precomputed index
+    arrays; per-pair combined material parameters follow Drake's rule
+    E_eff = (E_a E_b)/(E_a + E_b) (rigid = inf passes the other through).
+    """
+
+    # body spheres
+    sph_body: Tuple[int, ...]      # static, len ns
+    sph_offset: jax.Array          # (ns, 3) body frame
+    sph_radius: jax.Array          # (ns,)
+    # world halfspaces: x . normal >= offset is outside
+    hs_normal: jax.Array           # (nh, 3)
+    hs_offset: jax.Array           # (nh,)
+    # world boxes
+    box_rot: jax.Array             # (nbx, 3, 3)
+    box_pos: jax.Array             # (nbx, 3)
+    box_half: jax.Array            # (nbx, 3)
+    # pairs: sphere-halfspace
+    pair_sh_s: Tuple[int, ...]
+    pair_sh_h: Tuple[int, ...]
+    sh_E: jax.Array
+    sh_d: jax.Array
+    sh_mu: jax.Array
+    # pairs: sphere-box
+    pair_sb_s: Tuple[int, ...]
+    pair_sb_b: Tuple[int, ...]
+    sb_E: jax.Array
+    sb_d: jax.Array
+    sb_mu: jax.Array
+    # pairs: sphere-sphere
+    pair_ss_a: Tuple[int, ...]
+    pair_ss_b: Tuple[int, ...]
+    ss_E: jax.Array
+    ss_d: jax.Array
+    ss_mu: jax.Array
+
+    @property
+    def num_contacts(self) -> int:
+        return len(self.pair_sh_s) + len(self.pair_sb_s) + len(self.pair_ss_a)
+
+
+def _combine(pa: ContactProps, pb: ContactProps):
+    Ea, Eb = pa.modulus, pb.modulus
+    if np.isinf(Ea) and np.isinf(Eb):
+        E = 1e8
+    elif np.isinf(Ea):
+        E = Eb
+    elif np.isinf(Eb):
+        E = Ea
+    else:
+        E = Ea * Eb / (Ea + Eb)
+    d = pa.dissipation + pb.dissipation
+    mu = np.sqrt(max(pa.mu_dynamic, 1e-8) * max(pb.mu_dynamic, 1e-8))
+    return E, d, mu
+
+
+def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactModel]:
+    """Decompose, enumerate filtered candidate pairs, build arrays."""
+    spheres = []      # (body, offset, radius, props, src_geom_idx)
+    halfspaces = []   # (normal, offset, props, src)
+    boxes = []        # (rot, pos, half, props, src)
+    for gi, g in enumerate(gs.geoms):
+        if g.body < 0:
+            if g.kind == HALFSPACE:
+                n = g.rot @ np.array([0.0, 0.0, 1.0])
+                halfspaces.append((n, float(n @ g.pos), g.props, gi))
+            elif g.kind == BOX:
+                boxes.append((g.rot, g.pos, g.size.astype(float), g.props, gi))
+            elif g.kind == SPHERE:
+                # world sphere: model as a zero-dof sphere on "body -1" is
+                # not supported; treat as box-less sphere via ss pairs with
+                # a fictitious static body is overkill — disallow for now.
+                raise ValueError("world-fixed spheres not supported yet")
+            else:
+                raise ValueError(f"unsupported world geometry {g.kind}")
+        else:
+            for off, r in _decompose_to_spheres(g):
+                spheres.append((g.body, np.asarray(off, float), float(r), g.props, gi))
+
+    filt = set(gs._filtered)
+    bfilt = set(gs._filtered_bodies)
+
+    def filtered(src_i, src_j, body_i, body_j):
+        key = (min(src_i, src_j), max(src_i, src_j))
+        bkey = (min(body_i, body_j), max(body_i, body_j))
+        return key in filt or bkey in bfilt
+
+    pair_sh, pair_sb, pair_ss = [], [], []
+    for si, (b, off, r, props, src) in enumerate(spheres):
+        for hi, (n, o, hprops, hsrc) in enumerate(halfspaces):
+            if not filtered(src, hsrc, b, -1):
+                pair_sh.append((si, hi, *_combine(props, hprops)))
+        for bi, (R, p, half, bprops, bsrc) in enumerate(boxes):
+            if not filtered(src, bsrc, b, -1):
+                pair_sb.append((si, bi, *_combine(props, bprops)))
+    for si in range(len(spheres)):
+        for sj in range(si + 1, len(spheres)):
+            bi, bj = spheres[si][0], spheres[sj][0]
+            if bi == bj:
+                continue
+            if filtered(spheres[si][4], spheres[sj][4], bi, bj):
+                continue
+            pair_ss.append((si, sj, *_combine(spheres[si][3], spheres[sj][3])))
+
+    if not (pair_sh or pair_sb or pair_ss):
+        return None
+
+    def arr(x, d=dtype):
+        return jnp.asarray(np.asarray(x, float), d)
+
+    return ContactModel(
+        sph_body=tuple(s[0] for s in spheres),
+        sph_offset=arr([s[1] for s in spheres]) if spheres else jnp.zeros((0, 3), dtype),
+        sph_radius=arr([s[2] for s in spheres]) if spheres else jnp.zeros((0,), dtype),
+        hs_normal=arr([h[0] for h in halfspaces]) if halfspaces else jnp.zeros((0, 3), dtype),
+        hs_offset=arr([h[1] for h in halfspaces]) if halfspaces else jnp.zeros((0,), dtype),
+        box_rot=arr([b[0] for b in boxes]) if boxes else jnp.zeros((0, 3, 3), dtype),
+        box_pos=arr([b[1] for b in boxes]) if boxes else jnp.zeros((0, 3), dtype),
+        box_half=arr([b[2] for b in boxes]) if boxes else jnp.zeros((0, 3), dtype),
+        pair_sh_s=tuple(p[0] for p in pair_sh),
+        pair_sh_h=tuple(p[1] for p in pair_sh),
+        sh_E=arr([p[2] for p in pair_sh]),
+        sh_d=arr([p[3] for p in pair_sh]),
+        sh_mu=arr([p[4] for p in pair_sh]),
+        pair_sb_s=tuple(p[0] for p in pair_sb),
+        pair_sb_b=tuple(p[1] for p in pair_sb),
+        sb_E=arr([p[2] for p in pair_sb]),
+        sb_d=arr([p[3] for p in pair_sb]),
+        sb_mu=arr([p[4] for p in pair_sb]),
+        pair_ss_a=tuple(p[0] for p in pair_ss),
+        pair_ss_b=tuple(p[1] for p in pair_ss),
+        ss_E=arr([p[2] for p in pair_ss]),
+        ss_d=arr([p[3] for p in pair_ss]),
+        ss_mu=arr([p[4] for p in pair_ss]),
+    )
+
+
+def narrowphase(cm: ContactModel, sph_center_w: jax.Array):
+    """Signed distances for all candidate pairs.
+
+    Args:
+        cm: contact model.
+        sph_center_w: (ns, 3) world centers of all body spheres.
+    Returns:
+        phi: (NC,) penetration depth (positive = overlapping),
+        normal: (NC, 3) unit normal pointing from geometry B into body A
+            (force on A acts along +normal),
+        point: (NC, 3) world contact point,
+        body_a: tuple of body indices (sphere owner),
+        body_b: tuple (-1 for world geometry, else sphere owner),
+        E, d, mu: (NC,) combined material parameters.
+    """
+    phis, normals, points = [], [], []
+    body_a: List[int] = []
+    body_b: List[int] = []
+    Es, ds, mus = [], [], []
+
+    if cm.pair_sh_s:
+        s = jnp.asarray(cm.pair_sh_s)
+        h = jnp.asarray(cm.pair_sh_h)
+        c = sph_center_w[s]
+        n = cm.hs_normal[h]
+        r = cm.sph_radius[s]
+        dist = jnp.einsum("ci,ci->c", c, n) - cm.hs_offset[h]
+        phi = r - dist
+        phis.append(phi)
+        normals.append(n)
+        points.append(c - (dist - 0.5 * phi)[:, None] * n)
+        body_a += [cm.sph_body[i] for i in cm.pair_sh_s]
+        body_b += [-1] * len(cm.pair_sh_s)
+        Es.append(cm.sh_E); ds.append(cm.sh_d); mus.append(cm.sh_mu)
+
+    if cm.pair_sb_s:
+        s = jnp.asarray(cm.pair_sb_s)
+        b = jnp.asarray(cm.pair_sb_b)
+        c = sph_center_w[s]
+        R = cm.box_rot[b]
+        local = jnp.einsum("cji,cj->ci", R, c - cm.box_pos[b])
+        half = cm.box_half[b]
+        clamped = jnp.clip(local, -half, half)
+        # outside: vector from closest surface point to center
+        delta = local - clamped
+        dist_out = jnp.linalg.norm(delta, axis=-1)
+        # inside: distance to the nearest face (negative signed distance)
+        inside_gap = half - jnp.abs(local)           # (c,3) >= 0 inside
+        min_gap = jnp.min(inside_gap, axis=-1)
+        inside = dist_out < 1e-9
+        # normal: outside = delta/dist; inside = axis of smallest gap
+        axis_idx = jnp.argmin(inside_gap, axis=-1)
+        sign = jnp.sign(jnp.take_along_axis(local, axis_idx[:, None], -1))[:, 0]
+        n_local_in = jax.nn.one_hot(axis_idx, 3, dtype=c.dtype) * sign[:, None]
+        n_local_out = delta / jnp.maximum(dist_out, 1e-9)[:, None]
+        n_local = jnp.where(inside[:, None], n_local_in, n_local_out)
+        sd = jnp.where(inside, -min_gap, dist_out)   # signed distance center->box
+        r = cm.sph_radius[s]
+        phi = r - sd
+        n_w = jnp.einsum("cij,cj->ci", R, n_local)
+        p_w = c - (sd - 0.5 * phi)[:, None] * n_w
+        phis.append(phi)
+        normals.append(n_w)
+        points.append(p_w)
+        body_a += [cm.sph_body[i] for i in cm.pair_sb_s]
+        body_b += [-1] * len(cm.pair_sb_s)
+        Es.append(cm.sb_E); ds.append(cm.sb_d); mus.append(cm.sb_mu)
+
+    if cm.pair_ss_a:
+        a = jnp.asarray(cm.pair_ss_a)
+        bb = jnp.asarray(cm.pair_ss_b)
+        ca, cb = sph_center_w[a], sph_center_w[bb]
+        ra, rb = cm.sph_radius[a], cm.sph_radius[bb]
+        dvec = ca - cb
+        dist = jnp.linalg.norm(dvec, axis=-1)
+        n = dvec / jnp.maximum(dist, 1e-9)[:, None]
+        phi = (ra + rb) - dist
+        p = cb + (rb - 0.5 * phi)[:, None] * n
+        phis.append(phi)
+        normals.append(n)
+        points.append(p)
+        body_a += [cm.sph_body[i] for i in cm.pair_ss_a]
+        body_b += [cm.sph_body[i] for i in cm.pair_ss_b]
+        Es.append(cm.ss_E); ds.append(cm.ss_d); mus.append(cm.ss_mu)
+
+    return (
+        jnp.concatenate(phis),
+        jnp.concatenate(normals),
+        jnp.concatenate(points),
+        tuple(body_a),
+        tuple(body_b),
+        jnp.concatenate(Es),
+        jnp.concatenate(ds),
+        jnp.concatenate(mus),
+    )

@@ -92,6 +92,32 @@ def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
     return _chol_solve_unrolled(L, b)
 
 
+def solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
+    """General small solve via statically unrolled Gaussian elimination
+    (no pivoting — intended for diagonally dominant systems like the
+    implicit-contact Newton matrix M + dt J^T D J).  A: (..., n, n),
+    b: (..., n)."""
+    n = A.shape[-1]
+    if n == 1:
+        return b / A[..., 0, 0, None]
+    rows = [[A[..., i, j] for j in range(n)] for i in range(n)]
+    rhs = [b[..., i] for i in range(n)]
+    for k in range(n):
+        inv_p = 1.0 / rows[k][k]
+        for i in range(k + 1, n):
+            f = rows[i][k] * inv_p
+            for j in range(k + 1, n):
+                rows[i][j] = rows[i][j] - f * rows[k][j]
+            rhs[i] = rhs[i] - f * rhs[k]
+    xs = [None] * n
+    for i in reversed(range(n)):
+        s = rhs[i]
+        for j in range(i + 1, n):
+            s = s - rows[i][j] * xs[j]
+        xs[i] = s / rows[i][i]
+    return jnp.stack(xs, axis=-1)
+
+
 def inv_spd(A: jax.Array) -> jax.Array:
     """Inverse of a small SPD matrix (static size)."""
     n = A.shape[-1]
