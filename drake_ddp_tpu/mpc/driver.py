@@ -1,0 +1,101 @@
+"""Receding-horizon MPC driver.
+
+Re-implements the reference's resolve loop (acrobot.py:131-162,
+mini_cheetah.py:180-213) as a single compiled ``lax.scan`` over resolves,
+so a whole batched MPC run (thousands of scenarios x N resolves) is one
+XLA program:
+
+- warm start: keep the tail of the last optimal control tape and repeat
+  the final input for the new steps (mini_cheetah.py:193-197),
+- open-loop handoff: the next initial state is the predicted state
+  ``replan_steps`` into the last solution (mini_cheetah.py:198),
+- optional moving target: x_nom advances by target_vel * dt *
+  replan_steps each resolve (mini_cheetah.py:152-156).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from drake_ddp_tpu.dynamics.base import DiscreteSystem
+from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem, solve_ilqr
+
+
+class MPCConfig(NamedTuple):
+    num_resolves: int      # additional solves after the initial one
+    replan_steps: int      # horizon shift per resolve (>0)
+
+
+class MPCResult(NamedTuple):
+    states: jax.Array      # (num_steps + resolves*replan, n) stitched traj
+    costs: jax.Array       # (num_resolves + 1,) optimal cost per solve
+    iterations: jax.Array  # (num_resolves + 1,) iLQR iterations per solve
+    diverged: jax.Array    # (num_resolves + 1,) divergence flags
+    final_x: jax.Array     # (N, n) last solution
+    final_u: jax.Array     # (N-1, m) last control tape
+
+
+def shift_warm_start(u: jax.Array, replan_steps: int) -> jax.Array:
+    """u (N-1, m): drop the first replan_steps inputs, repeat the last
+    (mini_cheetah.py:193-197)."""
+    tail = u[replan_steps:]
+    pad = jnp.tile(u[-1:], (replan_steps, 1))
+    return jnp.concatenate([tail, pad], axis=0)
+
+
+def mpc_solve(
+    system: DiscreteSystem,
+    cfg: ILQRConfig,
+    prob: ILQRProblem,
+    mpc: MPCConfig,
+    x_nom_shift: Optional[jax.Array] = None,
+) -> MPCResult:
+    """Initial solve + ``mpc.num_resolves`` receding-horizon resolves.
+
+    ``x_nom_shift``: optional (n,) target-state advance applied once per
+    resolve (the mini-cheetah moving target: velocity * dt * replan).
+    Pure function — vmap over problems for batched scenario MPC.
+    """
+    N, rs = cfg.num_steps, mpc.replan_steps
+    sol0 = solve_ilqr(system, cfg, prob)
+
+    def resolve(carry, _):
+        x_prev, u_prev, x_nom = carry
+        u_guess = shift_warm_start(u_prev, rs)
+        x0 = x_prev[rs]
+        x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
+        p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        sol = solve_ilqr(system, cfg, p)
+        return (sol.x, sol.u, x_nom_new), (sol.x, sol.cost, sol.iterations, sol.diverged)
+
+    (x_last, u_last, _), (xs, costs, iters, divs) = jax.lax.scan(
+        resolve,
+        (sol0.x, sol0.u, prob.x_nom),
+        None,
+        length=mpc.num_resolves,
+    )
+
+    # Stitch the playback trajectory exactly as the reference does
+    # (mini_cheetah.py:187, 204-206): the initial solution occupies
+    # [0, N); each resolve i writes its full horizon at offset (i+1)*rs.
+    total = N + rs * mpc.num_resolves
+    n = prob.x0.shape[-1]
+    states = jnp.zeros((total, n), sol0.x.dtype)
+    states = jax.lax.dynamic_update_slice(states, sol0.x, (0, 0))
+
+    def write(i, st):
+        return jax.lax.dynamic_update_slice(st, xs[i], ((i + 1) * rs, 0))
+
+    states = jax.lax.fori_loop(0, mpc.num_resolves, write, states)
+
+    return MPCResult(
+        states=states,
+        costs=jnp.concatenate([sol0.cost[None], costs]),
+        iterations=jnp.concatenate([sol0.iterations[None], iters]),
+        diverged=jnp.concatenate([sol0.diverged[None], divs]),
+        final_x=x_last,
+        final_u=u_last,
+    )

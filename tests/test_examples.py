@@ -1,0 +1,60 @@
+"""End-to-end example-task regression tests (SURVEY.md §4 layer (d)):
+each reference task must solve with a sensible cost and reach its target.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_pendulum_example():
+    from drake_ddp_tpu.examples import pendulum as ex
+
+    states, inputs, t, cost = ex.run(ex.Config(verbose=False))
+    assert abs(states[0, -1] - np.pi) < 0.1
+    assert cost < 1.0
+
+
+def test_cart_pole_example():
+    from drake_ddp_tpu.examples import cart_pole as ex
+
+    states, inputs, t, cost = ex.run(ex.Config(verbose=False))
+    # swing-up reached (theta -> pi, modulo mirror symmetry of the model)
+    assert abs(abs(states[1, -1]) - np.pi) < 0.2
+
+
+def test_acrobot_example_short():
+    from drake_ddp_tpu.examples import acrobot as ex
+
+    # shortened horizon for CI: verify it makes progress toward upright
+    cfg = ex.Config(T=1.5, max_iters=40, verbose=False)
+    states, inputs, t, cost = ex.run(cfg)
+    assert np.all(np.isfinite(states))
+
+
+def test_acrobot_mpc_mode():
+    from drake_ddp_tpu.examples import acrobot as ex
+
+    cfg = ex.Config(T=0.4, MPC=True, num_resolves=3, replan_steps=2,
+                    max_iters=15, verbose=False)
+    states, u, t, costs = ex.run(cfg)
+    assert states.shape[1] == int(0.4 / 0.004) + 3 * 2
+    assert np.all(np.isfinite(costs))
+
+
+def test_cart_pole_with_wall_contact_sequence():
+    """The headline behavior: iLQR discovers a wall bounce and recovers
+    the pole to upright (reference cart_pole_with_wall.py)."""
+    from drake_ddp_tpu.examples import cart_pole_with_wall as ex
+
+    ilqr = ex.build_solver(ex.Config(verbose=False))
+    states, inputs, t, cost = ilqr.Solve()
+    sol = ilqr._solution
+    assert not bool(sol.diverged)
+    assert cost < 60.0
+    # recovered near upright
+    assert abs(states[1, -1] - np.pi) < 0.25
+    # the ball actually touched the wall (tip reaches the contact surface)
+    tipx = states[0] + 0.5 * np.sin(states[1])
+    assert tipx.min() < -0.39
