@@ -167,7 +167,9 @@ def _combine(pa: ContactProps, pb: ContactProps):
     else:
         E = Ea * Eb / (Ea + Eb)
     d = pa.dissipation + pb.dissipation
-    mu = np.sqrt(max(pa.mu_dynamic, 1e-8) * max(pb.mu_dynamic, 1e-8))
+    # Drake's CoulombFriction combination rule: 2 mu_a mu_b / (mu_a + mu_b)
+    ma, mb = max(pa.mu_dynamic, 1e-8), max(pb.mu_dynamic, 1e-8)
+    mu = 2.0 * ma * mb / (ma + mb)
     return E, d, mu
 
 

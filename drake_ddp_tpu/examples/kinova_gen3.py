@@ -1,0 +1,197 @@
+"""Kinova Gen3 whole-arm ball manipulation (contact-implicit).
+
+Task parity with reference kinova_gen3.py: a 7-dof Kinova Gen3 arm with a
+welded static Robotiq 2F-85 gripper pushes/lifts a 0.1 m ball on the
+ground.  n = 27 (7 arm q + 7 ball quaternion-pose q + 13 v), m = 7;
+T = 0.5, dt = 1e-2 (N = 50); three scenarios "lift" / "forward" / "side"
+choosing start pose and ball target (kinova_gen3.py:23, 54-67);
+gravity-compensation initial guess (kinova_gen3.py:268-275); solver
+beta = 0.5, delta = 1e-3, gamma = 0 (kinova_gen3.py:258-259).
+
+TPU-native deltas: the arm/gripper mesh collisions are pre-approximated
+to spheres (models/ data; Drake tessellates the meshes), the ground box
+is an analytic halfspace, and the gripper<->arm collision filter
+(kinova_gen3.py:127-154) plus joint-adjacency filters are applied at
+scene-build time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from drake_ddp_tpu.contact.geometry import (
+    HALFSPACE,
+    SPHERE,
+    CollisionGeometry,
+    ContactProps,
+    GeometrySet,
+    build_contact_model,
+)
+from drake_ddp_tpu.io.urdf import add_urdf
+from drake_ddp_tpu.models import gripper_static, kinova_gen3
+from drake_ddp_tpu.multibody.algorithms import gravity_compensation
+from drake_ddp_tpu.multibody.model import FREE, ModelBuilder
+from drake_ddp_tpu.multibody.plant import make_multibody_system
+from drake_ddp_tpu.solver.api import IterativeLinearQuadraticRegulator
+from drake_ddp_tpu.solver.keypoints import DerivsInterpolation
+from drake_ddp_tpu.utils.spatial import rpy_to_rot
+
+# Joint-angle definitions (kinova_gen3.py:44-47).
+Q_HOME = np.pi / 180 * np.array([0, 15, 180, 230, 0, 55, 90])
+Q_RETRACT = np.array([0, 5.93 - 2 * np.pi, np.pi, 3.734 - 2 * np.pi,
+                      0, 5.408 - 2 * np.pi, np.pi / 2])
+Q_PUSH = np.array([0.0, np.pi / 4 + 0.13, np.pi, 4.4 - 2 * np.pi,
+                   0, 1.2, np.pi / 2])
+Q_WRAP = np.pi / 180 * np.array([55, 125, 114, 244, 217, 45, 8])
+
+BALL_RADIUS = 0.1
+BALL_MASS = 0.258
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    scenario: str = "side"        # "lift", "forward", or "side"
+    T: float = 0.5
+    dt: float = 1e-2
+    beta: float = 0.5
+    delta: float = 1e-3
+    gamma: float = 0.0
+    # contact (kinova_gen3.py:90-99)
+    dissipation: float = 5.0
+    hydroelastic_modulus: float = 5e6
+    resolution_hint: float = 0.05
+    mu_static: float = 0.3
+    mu_dynamic: float = 0.2
+    contact_iters: int = 2
+    # derivative interpolation (kinova_gen3.py:36-41)
+    use_derivative_interpolation: bool = False
+    keypoint_method: str = "adaptiveJerk"
+    minN: int = 5
+    maxN: int = 40
+    jerk_threshold: float = 1e-4
+    iterative_error_threshold: float = 1e-2
+    verbose: bool = True
+    mesh_max_spheres: int = 4
+
+
+def scenario_states(cfg: Config):
+    """x0 / x_nom per scenario (kinova_gen3.py:49-71)."""
+    r = BALL_RADIUS
+    q_ball_start = np.array([0, 0, 0, 1, 0.6, 0.0, r], float)
+    q_ball_target = np.array([0, 0, 0, 1, 0.6, 0.0, r], float)
+    if cfg.scenario == "lift":
+        q_ball_start[4] = 0.155
+        q_ball_target[6] += 0.2
+    elif cfg.scenario == "forward":
+        q_ball_target[4] += 0.2
+    elif cfg.scenario == "side":
+        q_ball_target[5] += 0.15
+    else:
+        raise RuntimeError(f"Unknown scenario {cfg.scenario}")
+    q_start = Q_WRAP if cfg.scenario == "lift" else Q_PUSH
+    x0 = np.hstack([q_start, q_ball_start, np.zeros(13)])
+    x_nom = np.hstack([q_start, q_ball_target, np.zeros(13)])
+    return x0, x_nom
+
+
+def costs(cfg: Config):
+    """Quadratic weights (kinova_gen3.py:73-87)."""
+    Qq_robot = 0.0 * np.ones(7)
+    Qv_robot = 0.1 * np.ones(7)
+    Qq_ball = 1.0 * np.array([0, 0, 0, 0, 100, 100, 100], float)
+    if cfg.scenario == "lift":
+        Qq_ball[4] = 0
+        Qq_ball[5] = 0
+    Qv_ball = 0.1 * np.ones(6)
+    Q = np.diag(np.hstack([Qq_robot, Qq_ball, Qv_robot, Qv_ball]))
+    R = 0.01 * np.eye(7)
+    Qf = np.diag(np.hstack([Qq_robot, Qq_ball, Qv_robot, 10 * Qv_ball]))
+    return Q, R, Qf
+
+
+def build_system(cfg: Config = Config()):
+    """Arm (welded base +1.5 cm) + static gripper (welded at the end
+    effector, yaw pi/2) + free ball + ground (kinova_gen3.py:104-211)."""
+    mb = ModelBuilder()
+    gs = GeometrySet()
+    arm_idx = add_urdf(mb, gs, kinova_gen3(), floating=False,
+                       base_pos=(0, 0, 0.015),
+                       mesh_max_spheres=cfg.mesh_max_spheres)
+    grip_idx = add_urdf(
+        mb, gs, gripper_static(),
+        base_parent=arm_idx["end_effector_link"],
+        base_rot=rpy_to_rot((0.0, 0.0, np.pi / 2)),
+        floating=False, mesh_max_spheres=cfg.mesh_max_spheres,
+    )
+    # collision filter between gripper and arm bodies
+    # (kinova_gen3.py:127-154)
+    for gb in grip_idx.values():
+        for ab in arm_idx.values():
+            gs.exclude_body_pair(gb, ab)
+
+    friction = dict(mu_static=cfg.mu_static, mu_dynamic=cfg.mu_dynamic)
+    ball_props = ContactProps(
+        modulus=cfg.hydroelastic_modulus, dissipation=cfg.dissipation,
+        resolution_hint=cfg.resolution_hint, **friction,
+    )
+    ground_props = ContactProps(
+        modulus=cfg.hydroelastic_modulus, dissipation=cfg.dissipation,
+        resolution_hint=cfg.resolution_hint,
+        mu_static=0.7 * cfg.mu_static, mu_dynamic=0.7 * cfg.mu_dynamic,
+    )
+    # free ball with hollow-sphere inertia (kinova_gen3.py:177-206)
+    I_ball = (2.0 / 3.0) * BALL_MASS * BALL_RADIUS ** 2 * np.eye(3)
+    ball = mb.add_body("ball", -1, FREE, mass=BALL_MASS, inertia=I_ball)
+    gs.add(CollisionGeometry(ball, SPHERE, np.zeros(3), np.eye(3),
+                             np.array([BALL_RADIUS]), ball_props, "ball"))
+    gs.add(CollisionGeometry(-1, HALFSPACE, np.zeros(3), np.eye(3),
+                             np.zeros(1), ground_props, "ground"))
+    model = mb.finalize()
+    cm = build_contact_model(gs)
+    return make_multibody_system(model, cm, cfg.dt,
+                                 contact_iters=cfg.contact_iters), model
+
+
+def build_solver(cfg: Config = Config()):
+    system, model = build_system(cfg)
+    num_steps = int(cfg.T / cfg.dt)
+    interp: Optional[DerivsInterpolation] = None
+    if cfg.use_derivative_interpolation:
+        interp = DerivsInterpolation(
+            cfg.keypoint_method, cfg.minN, cfg.maxN,
+            cfg.jerk_threshold, cfg.iterative_error_threshold,
+        )
+    ilqr = IterativeLinearQuadraticRegulator(
+        system, num_steps, beta=cfg.beta, delta=cfg.delta, gamma=cfg.gamma,
+        derivs_keypoint_method=interp, verbose=cfg.verbose,
+        raise_on_divergence=False,
+    )
+    x0, x_nom = scenario_states(cfg)
+    Q, R, Qf = costs(cfg)
+    ilqr.SetInitialState(x0)
+    ilqr.SetTargetState(x_nom)
+    ilqr.SetRunningCost(cfg.dt * Q, cfg.dt * R)
+    ilqr.SetTerminalCost(Qf)
+    # gravity-compensation initial guess (kinova_gen3.py:268-275)
+    import jax.numpy as jnp
+    u_gc = np.asarray(gravity_compensation(
+        model, jnp.asarray(x0[:model.nq], jnp.float32)))
+    ilqr.SetInitialGuess(np.repeat(u_gc[None].T, num_steps - 1, axis=1))
+    return ilqr
+
+
+def run(cfg: Config = Config(), save_file: Optional[str] = None):
+    ilqr = build_solver(cfg)
+    x, u, solve_time, cost = ilqr.Solve()
+    print(f"Solved in {solve_time} seconds using iLQR")
+    print(f"Optimal cost: {cost}")
+    if save_file:
+        ilqr.SaveSolution(save_file)  # (kinova_gen3.py:284)
+    return x, u, solve_time, cost
+
+
+if __name__ == "__main__":
+    run()

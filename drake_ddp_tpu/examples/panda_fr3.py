@@ -1,0 +1,158 @@
+"""Franka FR3 whole-arm ball manipulation (contact-implicit).
+
+Task parity with reference panda_fr3.py: a 7-dof Franka FR3 arm (with
+fixed hand and reflected rotor inertias from the URDF) manipulates a
+0.1 m ball on the ground.  n = 27 (7 arm q + 7 ball q + 13 v), m = 7;
+T = 0.5, dt = 1e-2 (N = 50); scenarios "lift" / "forward" / "side"
+(panda_fr3.py:32-57); solver beta = 0.5, delta = 1e-3, gamma = 0
+(panda_fr3.py:202-203); gravity-compensation initial guess
+(panda_fr3.py:212-218).  Same TPU-native deltas as the kinova example
+(sphere-approximated meshes, halfspace ground).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from drake_ddp_tpu.contact.geometry import (
+    HALFSPACE,
+    SPHERE,
+    CollisionGeometry,
+    ContactProps,
+    GeometrySet,
+    build_contact_model,
+)
+from drake_ddp_tpu.io.urdf import add_urdf
+from drake_ddp_tpu.models import panda_fr3
+from drake_ddp_tpu.multibody.algorithms import gravity_compensation
+from drake_ddp_tpu.multibody.model import FREE, ModelBuilder
+from drake_ddp_tpu.multibody.plant import make_multibody_system
+from drake_ddp_tpu.solver.api import IterativeLinearQuadraticRegulator
+
+# Joint-angle definitions (panda_fr3.py:32-34).
+Q_HOME = np.array([0., -0.785, 0., -2.356, 0., 1.57, .785])
+Q_PUSH = np.array([0., 0.7, 0., -2.356, 0., 4.4, .785])
+Q_WRAP = np.array([-2.0, -1.8, 2., -2.0, 0.0057, 1.1, -0.083])
+
+BALL_RADIUS = 0.1
+BALL_MASS = 0.258
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    scenario: str = "side"      # "lift", "forward", or "side"
+    T: float = 0.5
+    dt: float = 1e-2
+    beta: float = 0.5
+    delta: float = 1e-3
+    gamma: float = 0.0
+    # contact (panda_fr3.py:77-83)
+    dissipation: float = 5.0
+    hydroelastic_modulus: float = 5e6
+    resolution_hint: float = 0.05
+    mu_static: float = 0.3
+    mu_dynamic: float = 0.2
+    contact_iters: int = 2
+    verbose: bool = True
+    mesh_max_spheres: int = 4
+
+
+def scenario_states(cfg: Config):
+    """x0 / x_nom per scenario (panda_fr3.py:37-57)."""
+    r = BALL_RADIUS
+    q_ball_start = np.array([0, 0, 0, 1, 0.6, 0.0, r], float)
+    q_ball_target = np.array([0, 0, 0, 1, 0.6, 0.0, r], float)
+    if cfg.scenario == "lift":
+        q_ball_start[4] = 0.17
+        q_ball_target[6] += 0.15
+    elif cfg.scenario == "forward":
+        q_ball_target[4] += 0.2
+    elif cfg.scenario == "side":
+        q_ball_target[5] += 0.15
+    else:
+        raise RuntimeError(f"Unknown scenario {cfg.scenario}")
+    q_start = Q_WRAP if cfg.scenario == "lift" else Q_PUSH
+    x0 = np.hstack([q_start, q_ball_start, np.zeros(13)])
+    x_nom = np.hstack([q_start, q_ball_target, np.zeros(13)])
+    return x0, x_nom
+
+
+def costs(cfg: Config):
+    """Quadratic weights (panda_fr3.py:60-73)."""
+    Qq_robot = 0.0 * np.ones(7)
+    Qv_robot = 0.1 * np.ones(7)
+    Qq_ball = 1.0 * np.array([0, 0, 0, 0, 100, 100, 100], float)
+    if cfg.scenario == "lift":
+        Qq_ball[4] = 0
+        Qq_ball[5] = 0
+    Qv_ball = 0.1 * np.ones(6)
+    Q = np.diag(np.hstack([Qq_robot, Qq_ball, Qv_robot, Qv_ball]))
+    R = 0.01 * np.eye(7)
+    Qf = np.diag(np.hstack([Qq_robot, Qq_ball, Qv_robot, 10 * Qv_ball]))
+    return Q, R, Qf
+
+
+def build_system(cfg: Config = Config()):
+    """Arm (welded base +1.5 cm) + free ball + ground
+    (panda_fr3.py:96-165)."""
+    mb = ModelBuilder()
+    gs = GeometrySet()
+    add_urdf(mb, gs, panda_fr3(), floating=False, base_pos=(0, 0, 0.015),
+             mesh_max_spheres=cfg.mesh_max_spheres)
+    friction = dict(mu_static=cfg.mu_static, mu_dynamic=cfg.mu_dynamic)
+    ball_props = ContactProps(
+        modulus=cfg.hydroelastic_modulus, dissipation=cfg.dissipation,
+        resolution_hint=cfg.resolution_hint, **friction,
+    )
+    ground_props = ContactProps(
+        modulus=cfg.hydroelastic_modulus, dissipation=cfg.dissipation,
+        resolution_hint=cfg.resolution_hint,
+        mu_static=0.7 * cfg.mu_static, mu_dynamic=0.7 * cfg.mu_dynamic,
+    )
+    I_ball = (2.0 / 3.0) * BALL_MASS * BALL_RADIUS ** 2 * np.eye(3)
+    ball = mb.add_body("ball", -1, FREE, mass=BALL_MASS, inertia=I_ball)
+    gs.add(CollisionGeometry(ball, SPHERE, np.zeros(3), np.eye(3),
+                             np.array([BALL_RADIUS]), ball_props, "ball"))
+    gs.add(CollisionGeometry(-1, HALFSPACE, np.zeros(3), np.eye(3),
+                             np.zeros(1), ground_props, "ground"))
+    model = mb.finalize()
+    cm = build_contact_model(gs)
+    return make_multibody_system(model, cm, cfg.dt,
+                                 contact_iters=cfg.contact_iters), model
+
+
+def build_solver(cfg: Config = Config()):
+    system, model = build_system(cfg)
+    num_steps = int(cfg.T / cfg.dt)
+    ilqr = IterativeLinearQuadraticRegulator(
+        system, num_steps, beta=cfg.beta, delta=cfg.delta, gamma=cfg.gamma,
+        verbose=cfg.verbose, raise_on_divergence=False,
+    )
+    x0, x_nom = scenario_states(cfg)
+    Q, R, Qf = costs(cfg)
+    ilqr.SetInitialState(x0)
+    ilqr.SetTargetState(x_nom)
+    ilqr.SetRunningCost(cfg.dt * Q, cfg.dt * R)
+    ilqr.SetTerminalCost(Qf)
+    import jax.numpy as jnp
+    u_gc = np.asarray(gravity_compensation(
+        model, jnp.asarray(x0[:model.nq], jnp.float32)))
+    ilqr.SetInitialGuess(np.repeat(u_gc[None].T, num_steps - 1, axis=1))
+    return ilqr
+
+
+def run(cfg: Config = Config(), save_file: Optional[str] = None):
+    ilqr = build_solver(cfg)
+    x, u, solve_time, cost = ilqr.Solve()
+    print(f"Solved in {solve_time} seconds using iLQR")
+    print(f"Optimal cost: {cost}")
+    if save_file:
+        ilqr.SaveSolution(save_file)  # (panda_fr3.py:228)
+    return x, u, solve_time, cost
+
+
+if __name__ == "__main__":
+    run()

@@ -151,7 +151,7 @@ def mass_matrix(model: MultibodyModel, kin: Kinematics) -> jax.Array:
     M = jnp.einsum("bim,bij,bjn->mn", J_ang, I_w, J_ang) + jnp.einsum(
         "bim,b,bin->mn", J_com, model.mass, J_com
     )
-    return M
+    return M + jnp.diag(model.armature)
 
 
 class Dynamics(NamedTuple):
@@ -179,11 +179,11 @@ def dynamics_terms(model: MultibodyModel, q: jax.Array, v: jax.Array) -> Dynamic
     J_ang_o, J_lin_o = _body_jacobians(model, kin, anc, kin.p)
     v_origin = J_lin_o @ v
 
-    # Mass matrix.
+    # Mass matrix (incl. reflected rotor inertia on the diagonal).
     I_w = jnp.einsum("bij,bjk,blk->bil", kin.R, model.inertia, kin.R)
     M = jnp.einsum("bim,bij,bjn->mn", J_ang, I_w, J_ang) + jnp.einsum(
         "bim,b,bin->mn", J_com, model.mass, J_com
-    )
+    ) + jnp.diag(model.armature)
 
     # Velocity-product accelerations with qddot = 0 (world frame).
     # Angular: alpha_b = sum_{ang dofs k in anc(b)} v_k * (w_parent(k) x a_k)
@@ -240,6 +240,16 @@ def dynamics_terms(model: MultibodyModel, q: jax.Array, v: jax.Array) -> Dynamic
     bias = bias + model.damping * v
 
     return Dynamics(kin=kin, M=M, bias=bias, w=w, v_origin=v_origin)
+
+
+def gravity_compensation(model: MultibodyModel, q: jax.Array) -> jax.Array:
+    """Actuator torques that hold the configuration statically: the
+    reference's gravity-compensation initial guess
+    (kinova_gen3.py:268-275, u = MakeActuationMatrix().T @
+    (-CalcGravityGeneralizedForces)).  Equals bias(q, 0) at the actuated
+    v-dofs."""
+    bias = dynamics_terms(model, q, jnp.zeros(model.nv, q.dtype)).bias
+    return bias[jnp.asarray(model.actuated_vdof)]
 
 
 def integrate_positions(model: MultibodyModel, q: jax.Array, v_next: jax.Array, dt) -> jax.Array:

@@ -62,6 +62,9 @@ class MultibodyModel:
     com: jax.Array       # (nb, 3)    center of mass in body frame
     inertia: jax.Array   # (nb, 3, 3) rotational inertia about com, body frame
     damping: jax.Array   # (nv,)      per-v-dof viscous damping
+    armature: jax.Array  # (nv,)      reflected rotor inertia added to M's
+                         #            diagonal (Drake drake:gear_ratio^2 *
+                         #            drake:rotor_inertia, panda_fr3.urdf)
     gravity: jax.Array   # (3,)       world gravity vector (e.g. [0,0,-9.81])
 
     @property
@@ -103,6 +106,7 @@ class ModelBuilder:
         com=(0.0, 0.0, 0.0),
         inertia=None,
         damping: float = 0.0,
+        armature: float = 0.0,
         actuated: bool = False,
     ) -> int:
         """Add a body connected to ``parent`` (-1 = world).  Returns index."""
@@ -119,6 +123,7 @@ class ModelBuilder:
                 com=np.asarray(com, np.float64),
                 inertia=np.zeros((3, 3)) if inertia is None else np.asarray(inertia, np.float64),
                 damping=float(damping),
+                armature=float(armature),
                 actuated=actuated,
             )
         )
@@ -142,9 +147,11 @@ class ModelBuilder:
             if b["actuated"] and _NV[b["joint_type"]] == 1
         )
         damping = np.zeros(nv)
+        armature = np.zeros(nv)
         for i, b in enumerate(bodies):
             if _NV[b["joint_type"]] == 1:
                 damping[v_start[i]] = b["damping"]
+                armature[v_start[i]] = b["armature"]
         return MultibodyModel(
             parent=parent,
             joint_type=joint_type,
@@ -162,6 +169,7 @@ class ModelBuilder:
             com=jnp.asarray(np.stack([b["com"] for b in bodies]), dtype),
             inertia=jnp.asarray(np.stack([b["inertia"] for b in bodies]), dtype),
             damping=jnp.asarray(damping, dtype),
+            armature=jnp.asarray(armature, dtype),
             gravity=jnp.asarray(self._gravity, dtype),
         )
 

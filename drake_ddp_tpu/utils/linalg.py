@@ -1,12 +1,20 @@
-"""Small symmetric-positive-definite solves tuned for TPU.
+"""Small dense solves tuned for TPU trace size and fusion.
 
 ``jnp.linalg.solve`` lowers to an LU custom call that costs ~1.5 ms per
 invocation on TPU even for a 2x2 — catastrophic inside a per-timestep
 ``lax.scan`` (measured: a 100-step rollout goes 150 ms -> 28 ms when the
-2x2 solve is replaced with the closed form).  Multibody mass matrices and
-iLQR's Quu are SPD and tiny (n <= ~20), so we use closed forms for n <= 3
-and an unrolled in-register Cholesky otherwise — straight-line VPU code
-that XLA fuses into the surrounding scan body.
+2x2 solve is replaced with the closed form).  Multibody mass matrices
+and iLQR's Quu are SPD and small (n <= ~20), so we use closed forms for
+n <= 3 and *row-vectorized* Gauss-Jordan elimination otherwise: n
+elimination steps of whole-row vector ops.  This keeps the trace at
+O(n) HLO ops (a fully scalar-unrolled Cholesky is O(n^3) ops, which
+made ``jax.jacfwd`` of a contact step take ~7 minutes to compile at
+nv = 18), while remaining straight-line code XLA fuses into the
+surrounding scan body.
+
+Gauss-Jordan without pivoting is numerically safe for the SPD /
+diagonally dominant systems used here (mass matrices, Quu + reg,
+implicit-contact Newton matrices M + dt^2 J^T K J).
 """
 
 from __future__ import annotations
@@ -15,55 +23,24 @@ import jax
 import jax.numpy as jnp
 
 
-def _chol_unrolled(A: jax.Array) -> jax.Array:
-    """Lower Cholesky factor of a small SPD matrix via statically unrolled
-    Cholesky–Crout.  O(n^3) straight-line ops; fine for n <= ~32."""
+def _gauss_jordan(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve A X = B by Gauss-Jordan elimination, row-vectorized.
+
+    A: (..., n, n); B: (..., n, k).  n static.  O(n) HLO ops: each of the
+    n elimination steps updates the whole augmented matrix with one
+    outer-product — vector code on the VPU, jacfwd-friendly.
+    """
     n = A.shape[-1]
-    L = [[None] * n for _ in range(n)]
-    for j in range(n):
-        s = A[..., j, j]
-        for k in range(j):
-            s = s - L[j][k] * L[j][k]
-        L[j][j] = jnp.sqrt(s)
-        inv_diag = 1.0 / L[j][j]
-        for i in range(j + 1, n):
-            s = A[..., i, j]
-            for k in range(j):
-                s = s - L[i][k] * L[j][k]
-            L[i][j] = s * inv_diag
-    rows = [
-        jnp.stack(
-            [L[i][j] if j <= i else jnp.zeros_like(A[..., 0, 0]) for j in range(n)],
-            axis=-1,
-        )
-        for i in range(n)
-    ]
-    return jnp.stack(rows, axis=-2)
-
-
-def _chol_solve_unrolled(L: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve L L^T x = b with statically unrolled triangular solves.
-    b: (..., n) or (..., n, k)."""
-    n = L.shape[-1]
-    vec = b.ndim == L.ndim - 1
-    if vec:
-        b = b[..., None]
-    # forward: L y = b
-    ys = []
-    for i in range(n):
-        s = b[..., i, :]
-        for k in range(i):
-            s = s - L[..., i, k, None] * ys[k]
-        ys.append(s / L[..., i, i, None])
-    # backward: L^T x = y
-    xs = [None] * n
-    for i in reversed(range(n)):
-        s = ys[i]
-        for k in range(i + 1, n):
-            s = s - L[..., k, i, None] * xs[k]
-        xs[i] = s / L[..., i, i, None]
-    x = jnp.stack(xs, axis=-2)
-    return x[..., 0] if vec else x
+    Ab = jnp.concatenate([A, B], axis=-1)           # (..., n, n+k)
+    eye = jnp.eye(n, dtype=A.dtype)
+    for kk in range(n):
+        pivot_row = Ab[..., kk, :]                   # (..., n+k)
+        pivot = Ab[..., kk, kk:kk + 1]               # (..., 1)
+        factor = Ab[..., :, kk] / pivot              # (..., n)
+        factor = factor - factor * eye[kk]           # zero at the pivot row
+        Ab = Ab - factor[..., :, None] * pivot_row[..., None, :]
+    diag = jnp.diagonal(Ab[..., :, :n], axis1=-2, axis2=-1)  # (..., n)
+    return Ab[..., :, n:] / diag[..., :, None]
 
 
 def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
@@ -88,34 +65,18 @@ def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
              (a[..., None] * b1 - c[..., None] * b0) / det[..., None]],
             axis=-2,
         )
-    L = _chol_unrolled(A)
-    return _chol_solve_unrolled(L, b)
+    x = _gauss_jordan(A, b[..., None] if vec else b)
+    return x[..., 0] if vec else x
 
 
 def solve_small(A: jax.Array, b: jax.Array) -> jax.Array:
-    """General small solve via statically unrolled Gaussian elimination
-    (no pivoting — intended for diagonally dominant systems like the
-    implicit-contact Newton matrix M + dt J^T D J).  A: (..., n, n),
-    b: (..., n)."""
+    """General small solve (no pivoting — intended for diagonally
+    dominant systems like the implicit-contact Newton matrix
+    M + dt J^T D J).  A: (..., n, n), b: (..., n)."""
     n = A.shape[-1]
     if n == 1:
         return b / A[..., 0, 0, None]
-    rows = [[A[..., i, j] for j in range(n)] for i in range(n)]
-    rhs = [b[..., i] for i in range(n)]
-    for k in range(n):
-        inv_p = 1.0 / rows[k][k]
-        for i in range(k + 1, n):
-            f = rows[i][k] * inv_p
-            for j in range(k + 1, n):
-                rows[i][j] = rows[i][j] - f * rows[k][j]
-            rhs[i] = rhs[i] - f * rhs[k]
-    xs = [None] * n
-    for i in reversed(range(n)):
-        s = rhs[i]
-        for j in range(i + 1, n):
-            s = s - rows[i][j] * xs[j]
-        xs[i] = s / rows[i][i]
-    return jnp.stack(xs, axis=-1)
+    return _gauss_jordan(A, b[..., None])[..., 0]
 
 
 def inv_spd(A: jax.Array) -> jax.Array:
