@@ -26,6 +26,12 @@ from drake_ddp_tpu.solver.ilqr import (
 )
 from drake_ddp_tpu.solver.api import IterativeLinearQuadraticRegulator
 from drake_ddp_tpu.solver.keypoints import DerivsInterpolation
+from drake_ddp_tpu.solver.transcription import (
+    TranscriptionConfig,
+    solve_transcription,
+)
+from drake_ddp_tpu.mpc.driver import MPCConfig, mpc_solve
+from drake_ddp_tpu.parallel import batched_mpc, batched_solve, scenario_mesh
 
 __all__ = [
     "DiscreteSystem",
@@ -35,4 +41,11 @@ __all__ = [
     "solve_ilqr",
     "IterativeLinearQuadraticRegulator",
     "DerivsInterpolation",
+    "TranscriptionConfig",
+    "solve_transcription",
+    "MPCConfig",
+    "mpc_solve",
+    "batched_mpc",
+    "batched_solve",
+    "scenario_mesh",
 ]

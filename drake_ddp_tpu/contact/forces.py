@@ -4,11 +4,22 @@ Replaces Drake's hydroelastic pressure-field integration (SURVEY.md D3)
 with a closed-form, everywhere-smooth force on each candidate contact —
 the property iLQR actually needs (the reference's paper point is that
 hydroelastic contact yields smooth dynamics an optimizer can
-differentiate through; we re-derive the same *shape* of force directly):
+differentiate through; we re-derive the same *magnitude* of force in
+closed form):
 
-- normal force magnitude ~ 2*pi*E*phi^2: the analytic resultant of a
-  compliant-sphere pressure field p = E*(1 - dist/r) penetrating a rigid
-  surface by phi (quadratic in penetration, like hydroelastic).
+- each geometry carries a pressure field rising linearly from its
+  surface with gradient g = E / l, where l is the field's depth scale
+  (a compliant sphere's field peaks E at its center -> l = radius; a
+  compliant box peaks at its mid-plane -> l = half-thickness, e.g. the
+  reference's Box(25,25,1) ground -> l = 0.5, mini_cheetah.py:98-101);
+- two fields in contact meet where pressures are equal: series-combined
+  gradient g_eff = g_a g_b / (g_a + g_b) (rigid -> g = inf passes the
+  other through);
+- integrating p = g_eff * depth over the circular patch of a sphere of
+  radius r penetrating by phi (area ~ 2 pi r phi) gives the resultant
+    fn = K * phi^2,   K = pi * r * g_eff
+  up to an O(1) shape constant ``force_scale``.  K is precomputed per
+  candidate pair at scene-build time (geometry.py).
 - penetration is smoothed with a softplus of width ``smooth_width`` so a
   small gradient exists slightly before touchdown (gives the optimizer a
   'force at a distance' signal to discover contact sequences).
@@ -25,9 +36,16 @@ import jax.numpy as jnp
 
 
 class ContactForceParams(NamedTuple):
-    smooth_width: float = 1e-3      # [m] softplus width for penetration
+    """smooth_width controls the optimizability/physicality trade-off:
+    wider = more force-at-a-distance signal for the optimizer to discover
+    contact sequences (3e-3 lets iLQR find the cart-pole wall bounce in
+    16 iterations where 1e-3 strands it in a no-bounce local optimum),
+    narrower = crisper contact."""
+
+    smooth_width: float = 3e-3      # [m] softplus width for penetration
     stiction_vel: float = 1e-3      # [m/s] friction regularization
-    force_scale: float = 2.0 * jnp.pi  # resultant constant (see docstring)
+    force_scale: float = 2.0        # O(1) patch-shape constant: fn =
+                                    # force_scale * K * phi^2, K = pi r g
 
 
 def smooth_penetration(phi: jax.Array, width: float) -> jax.Array:
@@ -43,7 +61,7 @@ def contact_forces(
     phi: jax.Array,      # (NC,) penetration (positive = contact)
     normal: jax.Array,   # (NC, 3) unit normal (force on body A along +n)
     v_rel: jax.Array,    # (NC, 3) velocity of A's contact point rel. B
-    E: jax.Array,        # (NC,) combined modulus
+    K: jax.Array,        # (NC,) combined stiffness pi*r*g_eff [N/m^2]
     d: jax.Array,        # (NC,) combined Hunt-Crossley dissipation
     mu: jax.Array,       # (NC,) combined friction
     params: ContactForceParams = ContactForceParams(),
@@ -51,7 +69,7 @@ def contact_forces(
     """World-frame force on body A at each candidate contact: (NC, 3)."""
     phi_s = smooth_penetration(phi, params.smooth_width)
     vn = jnp.einsum("ci,ci->c", v_rel, normal)      # separation rate > 0
-    fn = params.force_scale * E * phi_s * phi_s
+    fn = params.force_scale * K * phi_s * phi_s
     fn = fn * smooth_relu(1.0 - d * vn)
     vt = v_rel - vn[:, None] * normal
     vt_norm = jnp.sqrt(jnp.einsum("ci,ci->c", vt, vt) + params.stiction_vel**2)

@@ -86,28 +86,32 @@ class GeometrySet:
 def _decompose_to_spheres(g: CollisionGeometry):
     """Approximate a body-attached geometry by spheres in the body frame.
 
-    Returns list of (offset (3,), radius).  Cylinder: spheres of the
-    cylinder radius along the axis; box: 8 corner spheres of radius
-    min(half)/2 inset so they inscribe the box faces approximately.
+    Returns list of (offset (3,), radius, pressure_length).  The pressure
+    length l is the depth scale of the geometry's hydroelastic field
+    (forces.py): its own radius for a sphere/cylinder, min half-extent
+    for a box.  Cylinder: spheres of the cylinder radius along the axis;
+    box: 8 corner spheres of radius min(half)/2 inset so they inscribe
+    the box faces approximately.
     """
     if g.kind == SPHERE:
-        return [(g.pos, float(g.size[0]))]
+        return [(g.pos, float(g.size[0]), float(g.size[0]))]
     if g.kind == CYLINDER:
         r, hl = float(g.size[0]), float(g.size[1])
         n = max(2, int(np.ceil(2 * hl / max(r, 1e-6))) + 1)
         n = min(n, 6)
         zs = np.linspace(-max(hl - r, 0.0), max(hl - r, 0.0), n)
         axis = g.rot @ np.array([0.0, 0.0, 1.0])
-        return [(g.pos + z * axis, r) for z in zs]
+        return [(g.pos + z * axis, r, r) for z in zs]
     if g.kind == BOX:
         hx, hy, hz = [float(s) for s in g.size]
         r = 0.5 * min(hx, hy, hz)
+        ell = min(hx, hy, hz)
         out = []
         for sx in (-1, 1):
             for sy in (-1, 1):
                 for sz in (-1, 1):
                     local = np.array([sx * (hx - r), sy * (hy - r), sz * (hz - r)])
-                    out.append((g.pos + g.rot @ local, r))
+                    out.append((g.pos + g.rot @ local, r, ell))
         return out
     raise ValueError(f"cannot decompose {g.kind} attached to a body")
 
@@ -117,8 +121,9 @@ class ContactModel(NamedTuple):
 
     Spheres (body-attached): ns entries.  World primitives: halfspaces
     (nh) and boxes (nb_box).  Candidate pairs are precomputed index
-    arrays; per-pair combined material parameters follow Drake's rule
-    E_eff = (E_a E_b)/(E_a + E_b) (rigid = inf passes the other through).
+    arrays; per-pair stiffness K = pi * r * g_eff with series-combined
+    pressure gradients g = E/l (rigid = inf passes the other through) —
+    see forces.py for the derivation.
     """
 
     # body spheres
@@ -135,19 +140,19 @@ class ContactModel(NamedTuple):
     # pairs: sphere-halfspace
     pair_sh_s: Tuple[int, ...]
     pair_sh_h: Tuple[int, ...]
-    sh_E: jax.Array
+    sh_K: jax.Array
     sh_d: jax.Array
     sh_mu: jax.Array
     # pairs: sphere-box
     pair_sb_s: Tuple[int, ...]
     pair_sb_b: Tuple[int, ...]
-    sb_E: jax.Array
+    sb_K: jax.Array
     sb_d: jax.Array
     sb_mu: jax.Array
     # pairs: sphere-sphere
     pair_ss_a: Tuple[int, ...]
     pair_ss_b: Tuple[int, ...]
-    ss_E: jax.Array
+    ss_K: jax.Array
     ss_d: jax.Array
     ss_mu: jax.Array
 
@@ -156,35 +161,51 @@ class ContactModel(NamedTuple):
         return len(self.pair_sh_s) + len(self.pair_sb_s) + len(self.pair_ss_a)
 
 
-def _combine(pa: ContactProps, pb: ContactProps):
-    Ea, Eb = pa.modulus, pb.modulus
-    if np.isinf(Ea) and np.isinf(Eb):
-        E = 1e8
-    elif np.isinf(Ea):
-        E = Eb
-    elif np.isinf(Eb):
-        E = Ea
+def _combine(pa: ContactProps, la: float, pb: ContactProps, lb: float,
+             r_patch: float):
+    """Per-pair force constants (forces.py law): series-combined pressure
+    gradients g = E/l -> K = pi * r_patch * g_eff, plus Drake's
+    dissipation-sum and harmonic-friction rules."""
+    ga = np.inf if np.isinf(pa.modulus) else pa.modulus / max(la, 1e-9)
+    gb = np.inf if np.isinf(pb.modulus) else pb.modulus / max(lb, 1e-9)
+    if np.isinf(ga) and np.isinf(gb):
+        g = 1e10  # rigid-rigid: huge but finite (Drake would reject)
+    elif np.isinf(ga):
+        g = gb
+    elif np.isinf(gb):
+        g = ga
     else:
-        E = Ea * Eb / (Ea + Eb)
+        g = ga * gb / (ga + gb)
+    K = np.pi * r_patch * g
     d = pa.dissipation + pb.dissipation
     # Drake's CoulombFriction combination rule: 2 mu_a mu_b / (mu_a + mu_b)
     ma, mb = max(pa.mu_dynamic, 1e-8), max(pb.mu_dynamic, 1e-8)
     mu = 2.0 * ma * mb / (ma + mb)
-    return E, d, mu
+    return K, d, mu
+
+
+HALFSPACE_PRESSURE_DEPTH = 0.5
+"""Default pressure-field depth scale of a compliant world halfspace [m]
+(the reference grounds are Box(25,25,1) -> mid-plane depth 0.5,
+mini_cheetah.py:98-101, kinova_gen3.py:163-166).  Override per geometry
+by putting the depth in the halfspace's size[0]."""
 
 
 def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactModel]:
     """Decompose, enumerate filtered candidate pairs, build arrays."""
-    spheres = []      # (body, offset, radius, props, src_geom_idx)
-    halfspaces = []   # (normal, offset, props, src)
-    boxes = []        # (rot, pos, half, props, src)
+    spheres = []      # (body, offset, radius, props, src_geom_idx, ell)
+    halfspaces = []   # (normal, offset, props, src, ell)
+    boxes = []        # (rot, pos, half, props, src, ell)
     for gi, g in enumerate(gs.geoms):
         if g.body < 0:
             if g.kind == HALFSPACE:
                 n = g.rot @ np.array([0.0, 0.0, 1.0])
-                halfspaces.append((n, float(n @ g.pos), g.props, gi))
+                ell = float(g.size[0]) if float(g.size[0]) > 0 else \
+                    HALFSPACE_PRESSURE_DEPTH
+                halfspaces.append((n, float(n @ g.pos), g.props, gi, ell))
             elif g.kind == BOX:
-                boxes.append((g.rot, g.pos, g.size.astype(float), g.props, gi))
+                boxes.append((g.rot, g.pos, g.size.astype(float), g.props,
+                              gi, float(np.min(g.size))))
             elif g.kind == SPHERE:
                 # world sphere: model as a zero-dof sphere on "body -1" is
                 # not supported; treat as box-less sphere via ss pairs with
@@ -193,8 +214,9 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
             else:
                 raise ValueError(f"unsupported world geometry {g.kind}")
         else:
-            for off, r in _decompose_to_spheres(g):
-                spheres.append((g.body, np.asarray(off, float), float(r), g.props, gi))
+            for off, r, ell in _decompose_to_spheres(g):
+                spheres.append((g.body, np.asarray(off, float), float(r),
+                                g.props, gi, ell))
 
     filt = set(gs._filtered)
     bfilt = set(gs._filtered_bodies)
@@ -205,13 +227,13 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
         return key in filt or bkey in bfilt
 
     pair_sh, pair_sb, pair_ss = [], [], []
-    for si, (b, off, r, props, src) in enumerate(spheres):
-        for hi, (n, o, hprops, hsrc) in enumerate(halfspaces):
+    for si, (b, off, r, props, src, ell) in enumerate(spheres):
+        for hi, (n, o, hprops, hsrc, hell) in enumerate(halfspaces):
             if not filtered(src, hsrc, b, -1):
-                pair_sh.append((si, hi, *_combine(props, hprops)))
-        for bi, (R, p, half, bprops, bsrc) in enumerate(boxes):
+                pair_sh.append((si, hi, *_combine(props, ell, hprops, hell, r)))
+        for bi, (R, p, half, bprops, bsrc, bell) in enumerate(boxes):
             if not filtered(src, bsrc, b, -1):
-                pair_sb.append((si, bi, *_combine(props, bprops)))
+                pair_sb.append((si, bi, *_combine(props, ell, bprops, bell, r)))
     for si in range(len(spheres)):
         for sj in range(si + 1, len(spheres)):
             bi, bj = spheres[si][0], spheres[sj][0]
@@ -219,7 +241,11 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
                 continue
             if filtered(spheres[si][4], spheres[sj][4], bi, bj):
                 continue
-            pair_ss.append((si, sj, *_combine(spheres[si][3], spheres[sj][3])))
+            ra, rb = spheres[si][2], spheres[sj][2]
+            r_eff = ra * rb / (ra + rb)   # Hertz effective radius
+            pair_ss.append((si, sj, *_combine(
+                spheres[si][3], spheres[si][5],
+                spheres[sj][3], spheres[sj][5], r_eff)))
 
     if not (pair_sh or pair_sb or pair_ss):
         return None
@@ -238,17 +264,17 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
         box_half=arr([b[2] for b in boxes]) if boxes else jnp.zeros((0, 3), dtype),
         pair_sh_s=tuple(p[0] for p in pair_sh),
         pair_sh_h=tuple(p[1] for p in pair_sh),
-        sh_E=arr([p[2] for p in pair_sh]),
+        sh_K=arr([p[2] for p in pair_sh]),
         sh_d=arr([p[3] for p in pair_sh]),
         sh_mu=arr([p[4] for p in pair_sh]),
         pair_sb_s=tuple(p[0] for p in pair_sb),
         pair_sb_b=tuple(p[1] for p in pair_sb),
-        sb_E=arr([p[2] for p in pair_sb]),
+        sb_K=arr([p[2] for p in pair_sb]),
         sb_d=arr([p[3] for p in pair_sb]),
         sb_mu=arr([p[4] for p in pair_sb]),
         pair_ss_a=tuple(p[0] for p in pair_ss),
         pair_ss_b=tuple(p[1] for p in pair_ss),
-        ss_E=arr([p[2] for p in pair_ss]),
+        ss_K=arr([p[2] for p in pair_ss]),
         ss_d=arr([p[3] for p in pair_ss]),
         ss_mu=arr([p[4] for p in pair_ss]),
     )
@@ -267,12 +293,12 @@ def narrowphase(cm: ContactModel, sph_center_w: jax.Array):
         point: (NC, 3) world contact point,
         body_a: tuple of body indices (sphere owner),
         body_b: tuple (-1 for world geometry, else sphere owner),
-        E, d, mu: (NC,) combined material parameters.
+        K, d, mu: (NC,) combined per-pair force constants (forces.py).
     """
     phis, normals, points = [], [], []
     body_a: List[int] = []
     body_b: List[int] = []
-    Es, ds, mus = [], [], []
+    Ks, ds, mus = [], [], []
 
     if cm.pair_sh_s:
         s = jnp.asarray(cm.pair_sh_s)
@@ -287,7 +313,7 @@ def narrowphase(cm: ContactModel, sph_center_w: jax.Array):
         points.append(c - (dist - 0.5 * phi)[:, None] * n)
         body_a += [cm.sph_body[i] for i in cm.pair_sh_s]
         body_b += [-1] * len(cm.pair_sh_s)
-        Es.append(cm.sh_E); ds.append(cm.sh_d); mus.append(cm.sh_mu)
+        Ks.append(cm.sh_K); ds.append(cm.sh_d); mus.append(cm.sh_mu)
 
     if cm.pair_sb_s:
         s = jnp.asarray(cm.pair_sb_s)
@@ -320,7 +346,7 @@ def narrowphase(cm: ContactModel, sph_center_w: jax.Array):
         points.append(p_w)
         body_a += [cm.sph_body[i] for i in cm.pair_sb_s]
         body_b += [-1] * len(cm.pair_sb_s)
-        Es.append(cm.sb_E); ds.append(cm.sb_d); mus.append(cm.sb_mu)
+        Ks.append(cm.sb_K); ds.append(cm.sb_d); mus.append(cm.sb_mu)
 
     if cm.pair_ss_a:
         a = jnp.asarray(cm.pair_ss_a)
@@ -337,7 +363,7 @@ def narrowphase(cm: ContactModel, sph_center_w: jax.Array):
         points.append(p)
         body_a += [cm.sph_body[i] for i in cm.pair_ss_a]
         body_b += [cm.sph_body[i] for i in cm.pair_ss_b]
-        Es.append(cm.ss_E); ds.append(cm.ss_d); mus.append(cm.ss_mu)
+        Ks.append(cm.ss_K); ds.append(cm.ss_d); mus.append(cm.ss_mu)
 
     return (
         jnp.concatenate(phis),
@@ -345,7 +371,7 @@ def narrowphase(cm: ContactModel, sph_center_w: jax.Array):
         jnp.concatenate(points),
         tuple(body_a),
         tuple(body_b),
-        jnp.concatenate(Es),
+        jnp.concatenate(Ks),
         jnp.concatenate(ds),
         jnp.concatenate(mus),
     )

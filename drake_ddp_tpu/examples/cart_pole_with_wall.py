@@ -59,6 +59,13 @@ class Config:
     jerk_threshold: float = 0.0007
     iterative_error_threshold: float = 5e-5
     contact_iters: int = 2
+    # Contact tasks are multi-modal (local optima here span costs
+    # 25..1100); one vmapped multi-start solve finds the wall-bounce
+    # basin reliably (the reference's commented-out random guess,
+    # cart_pole_with_wall.py:157-158, gambles on one draw).
+    num_starts: int = 8
+    guess_scale: float = 10.0
+    seed: int = 0
     verbose: bool = True
 
 
@@ -118,9 +125,45 @@ def build_solver(cfg: Config):
     return ilqr
 
 
+def solve_multistart(cfg: Config = Config()):
+    """Batched multi-start solve; returns (MultistartResult, system)."""
+    import jax
+    import jax.numpy as jnp
+
+    from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
+    from drake_ddp_tpu.solver.multistart import multistart_ilqr
+
+    system = build_system(cfg)
+    N = int(cfg.T / cfg.dt)
+    dt = cfg.dt
+    prob = ILQRProblem(
+        x0=jnp.asarray([0.0, np.pi + 0.5, 0.0, 0.0], jnp.float32),
+        x_nom=jnp.asarray([0.0, np.pi, 0.0, 0.0], jnp.float32),
+        Q=jnp.asarray(dt * np.diag([0.1, 1.0, 0.01, 0.01]), jnp.float32),
+        R=jnp.asarray(dt * 0.001 * np.eye(1), jnp.float32),
+        Qf=jnp.asarray(np.diag([200.0, 200.0, 10.0, 10.0]), jnp.float32),
+        u_init=jnp.zeros((N - 1, 1), jnp.float32),
+    )
+    scfg = ILQRConfig(num_steps=N, beta=cfg.beta, max_iters=60)
+    res = jax.jit(
+        lambda p: multistart_ilqr(system, scfg, p, cfg.num_starts,
+                                  jax.random.PRNGKey(cfg.seed),
+                                  cfg.guess_scale)
+    )(prob)
+    return res, system
+
+
 def run(cfg: Config = Config()):
-    ilqr = build_solver(cfg)
-    states, inputs, solve_time, optimal_cost = ilqr.Solve()
+    import time
+
+    st = time.time()
+    res, _ = solve_multistart(cfg)
+    solve_time = time.time() - st
+    optimal_cost = float(res.best.cost)
+    states = np.asarray(res.best.x).T   # reference (n, N) layout
+    inputs = np.asarray(res.best.u).T
+    if cfg.verbose:
+        print(f"multi-start costs: {np.round(np.asarray(res.costs), 2)}")
     print(f"Solved in {solve_time} seconds using iLQR")
     print(f"Optimal cost: {optimal_cost}")
     return states, inputs, solve_time, optimal_cost

@@ -71,6 +71,10 @@ class Config:
     hydroelastic_modulus: float = 5e6
     resolution_hint: float = 0.1
     contact_iters: int = 2
+    # Narrow force smoothing: at dt = 4e-3 with zero dissipation, the
+    # library's wider optimizability default (3e-3) lets hovering feet
+    # pick up phantom forces that pump energy into the gait rollout.
+    smooth_width: float = 1e-3
     # derivative interpolation (mini_cheetah.py:26-32)
     use_derivative_interpolation: bool = False
     keypoint_method: str = "adaptiveJerk"
@@ -97,8 +101,10 @@ def build_system(cfg: Config = Config()):
                              np.zeros(1), ground, name="ground"))
     model = mb.finalize()
     cm = build_contact_model(gs)
-    system = make_multibody_system(model, cm, cfg.dt,
-                                   contact_iters=cfg.contact_iters)
+    from drake_ddp_tpu.contact.forces import ContactForceParams
+    system = make_multibody_system(
+        model, cm, cfg.dt, contact_iters=cfg.contact_iters,
+        force_params=ContactForceParams(smooth_width=cfg.smooth_width))
     return system, model
 
 

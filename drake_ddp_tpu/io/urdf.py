@@ -375,23 +375,35 @@ def add_urdf(
     add_link(robot.root, base_parent, root_type, base_pos, base_rot,
              np.array([0.0, 0.0, 1.0]), 0.0, 0.0, False)
 
-    # Depth-first over the tree (children after parents).
-    stack = [robot.root]
-    while stack:
-        parent_name = stack.pop()
-        for j in by_parent.get(parent_name, ()):  # joints out of this link
-            add_link(
-                j.child,
-                body_index[parent_name],
-                _JOINT_TYPES[j.type],
-                j.origin_pos,
-                j.origin_rot,
-                j.axis,
-                j.damping,
-                j.armature,
-                j.actuated,
-            )
-            stack.append(j.child)
+    # Add joints in DOCUMENT order (Drake assigns q/v slots in joint
+    # declaration order — the reference's hard-coded states like
+    # mini_cheetah.py:41-46 q0 depend on it).  A joint is added once its
+    # parent link exists; repeat passes handle out-of-order documents.
+    pending = list(robot.joints)
+    while pending:
+        progressed = False
+        remaining = []
+        for j in pending:
+            if j.parent in body_index:
+                add_link(
+                    j.child,
+                    body_index[j.parent],
+                    _JOINT_TYPES[j.type],
+                    j.origin_pos,
+                    j.origin_rot,
+                    j.axis,
+                    j.damping,
+                    j.armature,
+                    j.actuated,
+                )
+                progressed = True
+            else:
+                remaining.append(j)
+        if not progressed:
+            raise ValueError(
+                f"unreachable joints (parent links missing): "
+                f"{[j.name for j in remaining]}")
+        pending = remaining
 
     if geometry is not None:
         for la, lb in robot.filtered_link_pairs:

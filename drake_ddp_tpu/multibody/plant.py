@@ -83,29 +83,45 @@ def multibody_step(
         centers = kin.p[sph_body] + jnp.einsum(
             "cij,cj->ci", kin.R[sph_body], contact.sph_offset
         )
-        phi, normal, point, body_a, body_b, E, d, mu = narrowphase(contact, centers)
+        phi, normal, point, body_a, body_b, K, d, mu = narrowphase(contact, centers)
         Jc = _contact_jacobians(model, kin, contact, body_a, body_b, point)
 
         def residual(vp):
             v_rel = jnp.einsum("cin,n->ci", Jc, vp)
             vn = jnp.einsum("ci,ci->c", v_rel, normal)
             phi_pred = phi - dt * vn
-            f = contact_forces(phi_pred, normal, v_rel, E, d, mu, force_params)
+            f = contact_forces(phi_pred, normal, v_rel, K, d, mu, force_params)
             tau_c = jnp.einsum("cin,ci->n", Jc, f)
             return dyn.M @ (vp - v) - dt * (tau + tau_c)
 
-        # contact-free predictor, then Newton on the implicit residual
-        v_next = v + dt * solve_spd(dyn.M, tau)
         if contact_iters == 0:
             # explicit contact evaluation at (q, v)
             v_rel = jnp.einsum("cin,n->ci", Jc, v)
-            f = contact_forces(phi, normal, v_rel, E, d, mu, force_params)
+            f = contact_forces(phi, normal, v_rel, K, d, mu, force_params)
             tau_c = jnp.einsum("cin,ci->n", Jc, f)
             v_next = v + dt * solve_spd(dyn.M, tau + tau_c)
         else:
-            for _ in range(contact_iters):
-                G = jax.jacfwd(residual)(v_next)
-                v_next = v_next - solve_small(G, residual(v_next))
+            # Newton from a contact-free predictor; derivatives via the
+            # implicit function theorem (lax.custom_root) rather than by
+            # differentiating through the iterations — in f32 the
+            # unrolled-tangent path loses ~1% of the Jacobian through the
+            # stiff contact solve, which is enough to wreck iLQR descent
+            # directions (and IFT halves the trace: no second-order
+            # nesting under the solver's jacfwd).
+            def newton(res_fn, v0):
+                vp = v0
+                for _ in range(contact_iters):
+                    G = jax.jacfwd(res_fn)(vp)
+                    vp = vp - solve_small(G, res_fn(vp))
+                return vp
+
+            def tangent_solve(g, y):
+                J = jax.jacfwd(g)(jnp.zeros_like(y))
+                return solve_small(J, y)
+
+            v_pred = v + dt * solve_spd(dyn.M, tau)
+            v_next = jax.lax.custom_root(
+                residual, v_pred, newton, tangent_solve)
 
     q_next = integrate_positions(model, q, v_next, dt)
     return jnp.concatenate([q_next, v_next])

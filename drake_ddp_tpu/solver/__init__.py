@@ -6,6 +6,12 @@ from drake_ddp_tpu.solver.ilqr import (
 )
 from drake_ddp_tpu.solver.keypoints import DerivsInterpolation
 from drake_ddp_tpu.solver.api import IterativeLinearQuadraticRegulator
+from drake_ddp_tpu.solver.multistart import MultistartResult, multistart_ilqr
+from drake_ddp_tpu.solver.transcription import (
+    TranscriptionConfig,
+    TranscriptionSolution,
+    solve_transcription,
+)
 
 __all__ = [
     "ILQRConfig",
@@ -14,4 +20,9 @@ __all__ = [
     "solve_ilqr",
     "DerivsInterpolation",
     "IterativeLinearQuadraticRegulator",
+    "MultistartResult",
+    "multistart_ilqr",
+    "TranscriptionConfig",
+    "TranscriptionSolution",
+    "solve_transcription",
 ]

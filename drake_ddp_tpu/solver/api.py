@@ -56,9 +56,10 @@ class IterativeLinearQuadraticRegulator:
         gamma: float = 0.0,
         derivs_keypoint_method: Optional[kp.DerivsInterpolation] = None,
         max_iters: int = 100,
-        reg: float = 0.0,
+        reg: Optional[float] = None,
         verbose: bool = True,
         raise_on_divergence: bool = True,
+        dtype=None,
     ):
         self.system = system
         self.N = int(num_timesteps)
@@ -71,9 +72,11 @@ class IterativeLinearQuadraticRegulator:
             beta=float(beta),
             gamma=float(gamma),
             max_iters=int(max_iters),
-            reg=float(reg),
+            # None -> ILQRConfig's adaptive-regularization default
+            **({} if reg is None else dict(reg=float(reg))),
             derivs=derivs,
         )
+        self.dtype = dtype or jnp.float32
         self.verbose = verbose
         self.raise_on_divergence = raise_on_divergence
 
@@ -121,7 +124,8 @@ class IterativeLinearQuadraticRegulator:
 
     # -- solve ----------------------------------------------------------
 
-    def _problem(self, dtype=jnp.float32) -> ILQRProblem:
+    def _problem(self, dtype=None) -> ILQRProblem:
+        dtype = dtype or self.dtype
         return ILQRProblem(
             x0=jnp.asarray(self.x0, dtype),
             x_nom=jnp.asarray(self.x_nom, dtype),

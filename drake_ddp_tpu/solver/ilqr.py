@@ -48,9 +48,17 @@ class ILQRConfig(NamedTuple):
             unbounded; a bound is required for a compiled while_loop's
             diagnostics buffers).
         eps_min: linesearch failure threshold (ilqr.py:302).
-        reg: Quu Tikhonov regularization added before the gain solve.  The
-            reference uses none (ilqr.py:655); >0 improves robustness for
-            batched scenarios.
+        reg: initial Quu Tikhonov regularization added before the gain
+            solve.  The reference uses none (ilqr.py:655); stiff contact
+            in f32 regularly produces indefinite Quu, so the solver uses
+            Levenberg-style *adaptive* regularization: on a failed
+            linesearch reg grows by ``reg_mult`` and the backward pass is
+            recomputed (a retry, not a divergence) until ``reg_max``; on
+            success it decays by ``reg_mult`` down to ``reg``.  Set
+            ``reg = 0`` to disable adaptation and reproduce the
+            reference's raise-on-failure behavior exactly.
+        reg_mult: adaptive regularization growth/decay factor.
+        reg_max: divergence is declared only once reg exceeds this.
         derivs: keypoint derivative-interpolation config.
         ls_parallel: linesearch candidates evaluated per vectorized
             rollout.  The reference tries one eps at a time (ilqr.py:302);
@@ -67,7 +75,9 @@ class ILQRConfig(NamedTuple):
     gamma: float = 0.0
     max_iters: int = 100
     eps_min: float = 1e-8
-    reg: float = 0.0
+    reg: float = 1e-6
+    reg_mult: float = 10.0
+    reg_max: float = 1e3
     derivs: kp.DerivsInterpolation = kp.BASELINE
     ls_parallel: int = 8
 
@@ -119,12 +129,16 @@ class ILQRSolution(NamedTuple):
 class _LoopState(NamedTuple):
     x_bar: jax.Array
     u_bar: jax.Array
+    fx: jax.Array        # (N-1, n, n) cached dynamics Jacobians at x_bar
+    fu: jax.Array        # (N-1, n, m)
     kappa: jax.Array
     K: jax.Array
     dV_coeff: jax.Array
     L: jax.Array
     improvement: jax.Array
     iteration: jax.Array
+    reg: jax.Array       # current adaptive Quu regularization
+    retry: jax.Array     # bool — last linesearch failed, reg was raised
     diverged: jax.Array
     stats: ILQRStats
 
@@ -138,6 +152,19 @@ def _total_cost(prob: ILQRProblem, x: jax.Array, u: jax.Array) -> jax.Array:
     )
     dxf = x[-1] - prob.x_nom
     return running + dxf @ prob.Qf @ dxf
+
+
+def _cost_steps(prob: ILQRProblem, x: jax.Array, u: jax.Array) -> jax.Array:
+    """Per-step costs (N,): running terms for t < N-1, terminal at N-1.
+    Linesearch improvements are evaluated as sums of per-step cost
+    *differences* — in f32 the difference of two large cost sums loses
+    the small improvements that late backtracking steps produce."""
+    dx = x[:-1] - prob.x_nom
+    running = jnp.einsum("ti,ij,tj->t", dx, prob.Q, dx) + jnp.einsum(
+        "ti,ij,tj->t", u, prob.R, u
+    )
+    dxf = x[-1] - prob.x_nom
+    return jnp.concatenate([running, (dxf @ prob.Qf @ dxf)[None]])
 
 
 def _chunk_rollout(
@@ -171,9 +198,10 @@ def _chunk_rollout(
     x = jnp.concatenate([x0[None], xs], axis=0)  # (N, C, n)
     x = jnp.moveaxis(x, 1, 0)                    # (C, N, n)
     u = jnp.moveaxis(us, 1, 0)                   # (C, N-1, m)
-    L = jax.vmap(lambda xc, uc: _total_cost(prob, xc, uc))(x, u)
+    steps = jax.vmap(lambda xc, uc: _cost_steps(prob, xc, uc))(x, u)
+    L = jnp.sum(steps, axis=1)
     L = jnp.where(jnp.isfinite(L), L, jnp.inf)
-    return x, u, L
+    return x, u, L, steps
 
 
 def _linesearch(
@@ -189,8 +217,10 @@ def _linesearch(
     the reference's choice — but candidates are evaluated ``ls_parallel``
     at a time in one vectorized rollout (see ILQRConfig.ls_parallel).
 
-    Returns (eps, x, u, L, n_iters, failed).  ``failed`` replaces the
-    reference's RuntimeError so a batched solve can mask out the scenario.
+    Returns (eps, x, u, L, improvement, n_iters, failed).  ``failed``
+    replaces the reference's RuntimeError so a batched solve can mask out
+    the scenario.  ``improvement`` is computed as a sum of per-step cost
+    differences vs the incumbent trajectory (see _cost_steps).
     """
     dtype = state.x_bar.dtype
     C = max(1, int(cfg.ls_parallel))
@@ -198,25 +228,33 @@ def _linesearch(
     powers = beta ** jnp.arange(C, dtype=dtype)       # [1, b, ..., b^(C-1)]
     chunk_factor = beta ** jnp.asarray(C, dtype)
     dV_sum = jnp.sum(state.dV_coeff)
+    # incumbent per-step costs (first outer iteration: no incumbent yet)
+    steps_bar = _cost_steps(prob, state.x_bar, state.u_bar)
+    have_incumbent = jnp.isfinite(state.L)
 
     def chunk(eps_start):
         eps_vec = eps_start * powers
-        x, u, L = _chunk_rollout(step, prob, state, eps_vec)
+        x, u, L, steps = _chunk_rollout(step, prob, state, eps_vec)
         # expected reduction sum_t -eps (1-eps/2) dV_coeff[t] (ilqr.py:326)
         expected = -eps_vec * (1.0 - eps_vec / 2.0) * dV_sum
-        improvement = state.L - L
+        diff = jnp.sum(steps_bar[None, :] - steps, axis=1)
+        improvement = jnp.where(
+            have_incumbent, diff,
+            jnp.where(jnp.isfinite(L), jnp.inf, -jnp.inf))
+        improvement = jnp.where(jnp.isfinite(L), improvement, -jnp.inf)
         accept = (improvement > cfg.gamma * expected) & (eps_vec >= cfg.eps_min)
         found = jnp.any(accept)
         idx = jnp.argmax(accept)  # first True = largest acceptable eps
-        return found, idx, eps_vec[idx], x[idx], u[idx], L[idx]
+        return (found, idx, eps_vec[idx], x[idx], u[idx], L[idx],
+                improvement[idx])
 
     def cond(carry):
         eps_start, k, found, *_ = carry
         return ~found & (eps_start >= cfg.eps_min)
 
     def body(carry):
-        eps_start, k, _, _, _eps, x, u, L = carry
-        found, idx, eps_sel, x_sel, u_sel, L_sel = chunk(eps_start)
+        eps_start, k, _, _, _eps, x, u, L, imp = carry
+        found, idx, eps_sel, x_sel, u_sel, L_sel, imp_sel = chunk(eps_start)
         n_iters = k * C + idx + 1
         return (
             eps_start * chunk_factor,
@@ -227,6 +265,7 @@ def _linesearch(
             x_sel,
             u_sel,
             L_sel,
+            imp_sel,
         )
 
     init = (
@@ -238,12 +277,15 @@ def _linesearch(
         state.x_bar,
         state.u_bar,
         jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(0.0, dtype),
     )
-    _, k, found, n_iters, eps, x, u, L = jax.lax.while_loop(cond, body, init)
-    return eps, x, u, L, n_iters, ~found
+    (_, k, found, n_iters, eps, x, u, L, imp) = jax.lax.while_loop(
+        cond, body, init)
+    return eps, x, u, L, imp, n_iters, ~found
 
 
-def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
+def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu,
+                   reg=None):
     """Riccati sweep (reference ilqr.py:623-667) as a reverse lax.scan.
 
     Uses the reference's exact update equations (Gauss-Newton iLQR with
@@ -253,6 +295,8 @@ def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
     n = x_bar.shape[-1]
     m = u_bar.shape[-1]
     x_nom, Q, R, Qf = prob.x_nom, prob.Q, prob.R, prob.Qf
+    if reg is None:
+        reg = jnp.asarray(cfg.reg, x_bar.dtype)
 
     Vx0 = 2.0 * Qf @ (x_bar[-1] - x_nom)
     Vxx0 = 2.0 * Qf
@@ -269,7 +313,7 @@ def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
         Qx = lx + fx_t.T @ Vx
         Qu = lu + fu_t.T @ Vx
         Qxx = 2.0 * Q + fxT_Vxx @ fx_t
-        Quu = 2.0 * R + fu_t.T @ Vxx @ fu_t + cfg.reg * eye_m
+        Quu = 2.0 * R + fu_t.T @ Vxx @ fu_t + reg * eye_m
         Qux = fu_t.T @ Vxx @ fx_t
         # Gains via one (m, 1+n) solve (reference ilqr.py:659-660 uses
         # an explicit inverse; solve_spd is a TPU-fusable closed-form /
@@ -280,9 +324,12 @@ def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu):
         kappa_t = sol[:, 0]
         K_t = sol[:, 1:]
         dV_t = Qu @ kappa_t  # Qu' Quu^-1 Qu (ilqr.py:663)
-        # Value update (reference ilqr.py:666-667).
+        # Value update (reference ilqr.py:666-667).  Symmetrize Vxx every
+        # step: in f32 the asymmetry drift over a long horizon visibly
+        # degrades the gains (the reference runs in f64 and skips this).
         Vx_new = Qx - Qux.T @ kappa_t
         Vxx_new = Qxx - Qux.T @ K_t
+        Vxx_new = 0.5 * (Vxx_new + Vxx_new.T)
         return (Vx_new, Vxx_new), (kappa_t, K_t, dV_t)
 
     (_, _), (kappa, K, dV) = jax.lax.scan(
@@ -313,55 +360,87 @@ def solve_ilqr(
 
     derivs_fn = partial(kp.compute_derivatives, step, cfg.derivs)
 
+    adaptive = cfg.reg > 0.0
+
     def forward_and_backward(state: _LoopState) -> _LoopState:
         # Forward pass: linesearch + derivative computation
         # (reference ilqr.py:339-378).
-        eps, x, u, L_new, ls_iters, failed = _linesearch(step, cfg, prob, state)
+        eps, x, u, L_new, imp, ls_iters, failed = _linesearch(
+            step, cfg, prob, state)
 
-        fx, fu, percent = derivs_fn(x, u)
-        kappa, K, dV = _backward_pass(cfg, prob, x, u, fx, fu)
+        # On linesearch failure keep the previous iterate (the reference
+        # raises RuntimeError, ilqr.py:337; a batched solve must not).
+        sel = lambda a, b: jnp.where(failed, b, a)
+        x_use = sel(x, state.x_bar)
+        u_use = sel(u, state.u_bar)
+        L_use = sel(L_new, state.L)
+
+        # Levenberg-style adaptive regularization: raise on failure and
+        # retry, decay toward cfg.reg on success.
+        if adaptive:
+            reg_new = jnp.where(
+                failed,
+                state.reg * cfg.reg_mult,
+                jnp.maximum(state.reg / cfg.reg_mult, cfg.reg),
+            )
+        else:
+            reg_new = state.reg
+        # If the expected improvement is already below delta the iterate
+        # is at a local optimum — report convergence, not divergence.
+        # (Gated on iteration > 0: the init dV_coeff of zeros is not a
+        # converged state.)
+        at_optimum = (jnp.sum(state.dV_coeff) <= cfg.delta) & (
+            state.iteration > 0)
+        exhausted = jnp.asarray(
+            not adaptive) | (state.reg >= cfg.reg_max) | at_optimum
+        retry = failed & ~exhausted
+        diverged = failed & exhausted & ~at_optimum
+
+        # Dynamics Jacobians are a function of the trajectory alone; on a
+        # reg-retry the trajectory is unchanged, so reuse the cached stack
+        # and only redo the (cheap) backward pass.  lax.cond keeps the
+        # expensive branch unexecuted on retries.
+        def fresh_derivs(_):
+            fx_new, fu_new, pct = derivs_fn(x_use, u_use)
+            return fx_new, fu_new, pct
+
+        def cached_derivs(_):
+            return state.fx, state.fu, jnp.asarray(0.0, dtype)
+
+        fx, fu, percent = jax.lax.cond(
+            failed, cached_derivs, fresh_derivs, operand=None)
+        kappa, K, dV = _backward_pass(cfg, prob, x_use, u_use, fx, fu,
+                                      reg=reg_new)
 
         it = state.iteration
         stats = ILQRStats(
-            cost=state.stats.cost.at[it].set(L_new),
-            eps=state.stats.eps.at[it].set(eps),
+            cost=state.stats.cost.at[it].set(L_use),
+            eps=state.stats.eps.at[it].set(sel(eps, jnp.zeros_like(eps))),
             ls_iters=state.stats.ls_iters.at[it].set(ls_iters),
             percent_derivs=state.stats.percent_derivs.at[it].set(percent),
         )
-        improvement = state.L - L_new
+        improvement = jnp.where(failed, jnp.asarray(0.0, dtype), imp)
 
-        committed = _LoopState(
-            x_bar=x,
-            u_bar=u,
+        return _LoopState(
+            x_bar=x_use,
+            u_bar=u_use,
+            fx=fx,
+            fu=fu,
             kappa=kappa,
             K=K,
             dV_coeff=dV,
-            L=L_new,
+            L=L_use,
             improvement=improvement,
             iteration=it + 1,
-            diverged=jnp.asarray(False),
+            reg=reg_new,
+            retry=retry,
+            diverged=diverged,
             stats=stats,
-        )
-        # On linesearch failure keep the previous iterate.  If the
-        # expected improvement is already below delta the iterate is at a
-        # local optimum — report convergence, not divergence.  (The
-        # reference raises RuntimeError in both situations, ilqr.py:337;
-        # an LQR-exact problem converges in one backward pass and would
-        # trip that raise.)
-        at_optimum = jnp.sum(state.dV_coeff) <= cfg.delta
-        keep = lambda new, old: jax.tree_util.tree_map(
-            lambda a, b: jnp.where(failed, b, a), new, old
-        )
-        out = keep(committed, state)
-        return out._replace(
-            diverged=failed & ~at_optimum,
-            iteration=it + 1,
-            improvement=jnp.where(failed, jnp.asarray(0.0, dtype), improvement),
         )
 
     def cond(state: _LoopState):
         return (
-            (state.improvement > cfg.delta)
+            ((state.improvement > cfg.delta) | state.retry)
             & (state.iteration < cfg.max_iters)
             & ~state.diverged
         )
@@ -375,12 +454,16 @@ def solve_ilqr(
     init = _LoopState(
         x_bar=jnp.zeros((N, n), dtype),
         u_bar=prob.u_init.astype(dtype),
+        fx=jnp.zeros((N - 1, n, n), dtype),
+        fu=jnp.zeros((N - 1, n, m), dtype),
         kappa=jnp.zeros((N - 1, m), dtype),
         K=jnp.zeros((N - 1, m, n), dtype),
         dV_coeff=jnp.zeros(N - 1, dtype),
         L=jnp.asarray(jnp.inf, dtype),
         improvement=jnp.asarray(jnp.inf, dtype),
         iteration=jnp.asarray(0, jnp.int32),
+        reg=jnp.asarray(cfg.reg, dtype),
+        retry=jnp.asarray(False),
         diverged=jnp.asarray(False),
         stats=stats0,
     )

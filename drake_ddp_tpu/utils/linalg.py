@@ -23,6 +23,51 @@ import jax
 import jax.numpy as jnp
 
 
+def _chol_vec(A: jax.Array) -> jax.Array:
+    """Lower Cholesky factor via column-loop Cholesky-Crout, vectorized
+    over rows: n iterations of matvec/vector ops (O(n) HLO ops, vs O(n^3)
+    for a fully scalar-unrolled factorization), numerically equivalent to
+    classic Cholesky — which matters: Gauss-Jordan without pivoting loses
+    visible accuracy on f32 Riccati recursions."""
+    n = A.shape[-1]
+    L = jnp.zeros_like(A)
+    idx = jnp.arange(n)
+    for j in range(n):
+        # s_i = A[i, j] - sum_{k<j} L[i, k] L[j, k]
+        if j:
+            s = A[..., :, j] - jnp.einsum(
+                "...ik,...k->...i", L[..., :, :j], L[..., j, :j])
+        else:
+            s = A[..., :, j]
+        d = jnp.sqrt(s[..., j:j + 1])
+        col = jnp.where(idx >= j, s / d, jnp.zeros_like(s))
+        L = L.at[..., :, j].set(col)
+    return L
+
+
+def _chol_solve_vec(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve L L^T X = B with row-loop triangular solves (vectorized over
+    RHS columns).  B: (..., n, k)."""
+    n = L.shape[-1]
+    # forward: L Y = B
+    ys = []
+    for i in range(n):
+        s = B[..., i, :]
+        if i:
+            Yi = jnp.stack(ys, axis=-2)                       # (..., i, k)
+            s = s - jnp.einsum("...k,...kj->...j", L[..., i, :i], Yi)
+        ys.append(s / L[..., i, i, None])
+    # backward: L^T X = Y
+    xs = [None] * n
+    for i in reversed(range(n)):
+        s = ys[i]
+        if i + 1 < n:
+            Xi = jnp.stack(xs[i + 1:], axis=-2)               # (..., n-i-1, k)
+            s = s - jnp.einsum("...k,...kj->...j", L[..., i + 1:, i], Xi)
+        xs[i] = s / L[..., i, i, None]
+    return jnp.stack(xs, axis=-2)
+
+
 def _gauss_jordan(A: jax.Array, B: jax.Array) -> jax.Array:
     """Solve A X = B by Gauss-Jordan elimination, row-vectorized.
 
@@ -65,7 +110,8 @@ def solve_spd(A: jax.Array, b: jax.Array) -> jax.Array:
              (a[..., None] * b1 - c[..., None] * b0) / det[..., None]],
             axis=-2,
         )
-    x = _gauss_jordan(A, b[..., None] if vec else b)
+    L = _chol_vec(A)
+    x = _chol_solve_vec(L, b[..., None] if vec else b)
     return x[..., 0] if vec else x
 
 

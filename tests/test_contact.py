@@ -22,8 +22,11 @@ from drake_ddp_tpu.multibody.plant import make_multibody_system
 
 
 def ball_on_ground(dt=1e-2, modulus=5e6, dissipation=5.0, mu=0.5,
-                   radius=0.1, mass=0.258, iters=2):
-    """The kinova example's ball + ground (kinova_gen3.py:156-178)."""
+                   radius=0.1, mass=0.258, iters=2, smooth_width=1e-3):
+    """The kinova example's ball + ground (kinova_gen3.py:156-178).
+    Physics-accuracy tests pin a narrow smooth_width; the library default
+    is wider for optimizability (contact/forces.py)."""
+    from drake_ddp_tpu.contact.forces import ContactForceParams
     mb = ModelBuilder()
     mb.add_body("ball", -1, FREE, mass=mass,
                 inertia=(2.0 / 3.0) * mass * radius**2 * np.eye(3))
@@ -40,7 +43,10 @@ def ball_on_ground(dt=1e-2, modulus=5e6, dissipation=5.0, mu=0.5,
         props=ContactProps(modulus=modulus, dissipation=dissipation,
                            mu_static=mu, mu_dynamic=mu)))
     cm = build_contact_model(gs)
-    return make_multibody_system(model, cm, dt, contact_iters=iters), radius, mass
+    sys = make_multibody_system(
+        model, cm, dt, contact_iters=iters,
+        force_params=ContactForceParams(smooth_width=smooth_width))
+    return sys, radius, mass
 
 
 def test_ball_settles_on_ground():
@@ -100,7 +106,11 @@ def test_ball_on_box_wall():
 
 
 def test_jacfwd_through_contact_finite():
-    sys, radius, mass = ball_on_ground()
+    # Jacobians come from the implicit function theorem at the Newton
+    # root (multibody/plant.py), so the FD cross-check must use a
+    # well-converged solve — at 2 iterations FD differentiates the
+    # truncated iteration map, not the root.
+    sys, radius, mass = ball_on_ground(iters=8)
     q0 = np.array([1, 0, 0, 0, 0, 0, radius - 0.001])  # in contact
     x = jnp.asarray(np.hstack([q0, np.zeros(6)]), jnp.float32)
     u = jnp.zeros(0, jnp.float32)

@@ -45,13 +45,12 @@ def test_acrobot_mpc_mode():
 
 def test_cart_pole_with_wall_contact_sequence():
     """The headline behavior: iLQR discovers a wall bounce and recovers
-    the pole to upright (reference cart_pole_with_wall.py)."""
+    the pole to upright (reference cart_pole_with_wall.py).  Contact
+    local optima here span costs 25..1100, so the example solves with a
+    batched multi-start (solver/multistart.py)."""
     from drake_ddp_tpu.examples import cart_pole_with_wall as ex
 
-    ilqr = ex.build_solver(ex.Config(verbose=False))
-    states, inputs, t, cost = ilqr.Solve()
-    sol = ilqr._solution
-    assert not bool(sol.diverged)
+    states, inputs, t, cost = ex.run(ex.Config(verbose=False))
     assert cost < 60.0
     # recovered near upright
     assert abs(states[1, -1] - np.pi) < 0.25
