@@ -53,6 +53,9 @@ class DerivsInterpolation(NamedTuple):
         max_keypoints: static budget for the sparse gather evaluation path.
             None means evaluate densely (gather skipped).  Must upper-bound
             the true keypoint count; excess slots are wasted work only.
+        jac_chunk: evaluate exact Jacobians at most this many timesteps at
+            a time (lax.map batching) — bounds the JVP temporary memory
+            for large scenario batches; None = whole horizon at once.
     """
 
     keypoint_method: str = SET_INTERVAL
@@ -61,6 +64,7 @@ class DerivsInterpolation(NamedTuple):
     jerk_threshold: float = 0.0
     iterative_error_threshold: float = 0.0
     max_keypoints: Optional[int] = None
+    jac_chunk: Optional[int] = None
 
     def validate(self) -> "DerivsInterpolation":
         if self.keypoint_method not in _METHODS:
@@ -245,18 +249,26 @@ def interpolate_stack(mask: jax.Array, vals: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _dense_jacobians(step: Callable, x: jax.Array, u: jax.Array):
+def _dense_jacobians(step: Callable, x: jax.Array, u: jax.Array,
+                     chunk: Optional[int] = None):
     """Batched fx, fu over the whole horizon: one compiled jacfwd.
 
     Replaces the reference's per-timestep AutoDiffXd evaluation
-    (ilqr.py:409-411 -> 233-272).
+    (ilqr.py:409-411 -> 233-272).  ``chunk`` bounds how many timesteps
+    are differentiated at once: the JVP temporaries of a contact step
+    scale as horizon x tangents x bodies and are heavily tile-padded
+    ((..., 3, nv) blocks), so the unchunked form OOMs large scenario
+    batches (measured 22.8 GiB HBM at batch 256, mini-cheetah N=50).
     """
-    jac = jax.vmap(jax.jacfwd(step, argnums=(0, 1)))
-    return jac(x[:-1], u)
+    jac = jax.jacfwd(step, argnums=(0, 1))
+    if chunk is None or chunk >= x.shape[0] - 1:
+        return jax.vmap(jac)(x[:-1], u)
+    return jax.lax.map(lambda xu: jac(*xu), (x[:-1], u), batch_size=chunk)
 
 
 def _sparse_jacobians(
-    step: Callable, x: jax.Array, u: jax.Array, mask: jax.Array, budget: int
+    step: Callable, x: jax.Array, u: jax.Array, mask: jax.Array, budget: int,
+    chunk: Optional[int] = None,
 ):
     """Evaluate Jacobians only at (up to ``budget``) keypoints via gather.
 
@@ -268,8 +280,12 @@ def _sparse_jacobians(
     T = mask.shape[0]
     budget = min(budget, T)
     order = jnp.argsort(~mask, stable=True)[:budget]
-    jac = jax.vmap(jax.jacfwd(step, argnums=(0, 1)))
-    fx_k, fu_k = jac(x[order], u[order])
+    jac = jax.jacfwd(step, argnums=(0, 1))
+    if chunk is None or chunk >= budget:
+        fx_k, fu_k = jax.vmap(jac)(x[order], u[order])
+    else:
+        fx_k, fu_k = jax.lax.map(lambda xu: jac(*xu), (x[order], u[order]),
+                                 batch_size=chunk)
     n, m = fx_k.shape[-1], fu_k.shape[-1]
     fx = jnp.zeros((T, n, n), fx_k.dtype).at[order].set(fx_k)
     fu = jnp.zeros((T, n, m), fu_k.dtype).at[order].set(fu_k)
@@ -300,7 +316,7 @@ def compute_derivatives(
     N = x.shape[0]
 
     if is_baseline(cfg):
-        fx, fu = _dense_jacobians(step, x, u)
+        fx, fu = _dense_jacobians(step, x, u, cfg.jac_chunk)
         return fx, fu, jnp.asarray(100.0, x.dtype)
 
     if cfg.keypoint_method == SET_INTERVAL:
@@ -308,7 +324,7 @@ def compute_derivatives(
     elif cfg.keypoint_method == ADAPTIVE_JERK:
         mask = adaptive_jerk_mask(cfg, x, N, x.shape[1])
     elif cfg.keypoint_method == ITERATIVE_ERROR:
-        fx_full, fu_full = _dense_jacobians(step, x, u)
+        fx_full, fu_full = _dense_jacobians(step, x, u, cfg.jac_chunk)
         mask = iterative_error_mask(cfg, fx_full, N)
         fx = interpolate_stack(mask, fx_full)
         fu = interpolate_stack(mask, fu_full)
@@ -318,7 +334,8 @@ def compute_derivatives(
         raise ValueError(cfg.keypoint_method)
 
     if cfg.max_keypoints is not None:
-        fx, fu = _sparse_jacobians(step, x, u, mask, cfg.max_keypoints)
+        fx, fu = _sparse_jacobians(step, x, u, mask, cfg.max_keypoints,
+                                   cfg.jac_chunk)
     elif cfg.keypoint_method == SET_INTERVAL:
         # Static mask: budget is exactly the keypoint count.
         budget = int(set_interval_mask(N, cfg.minN).sum())
