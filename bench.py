@@ -16,11 +16,11 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 256
 MAX_ITERS = 6
 RESOLVE_CHUNK = 10      # resolves per device call (long single executions
 NUM_CHUNKS = 5          # can trip the axon tunnel's watchdog)
-JAC_CHUNK = 10
+JAC_CHUNK = 14
 
 
 def main():
@@ -39,9 +39,13 @@ def main():
     x0, x_nom = mc.initial_and_target(cfg)
     rs = cfg.replan_steps
 
-    derivs = kp.DerivsInterpolation(jac_chunk=JAC_CHUNK)
+    # setInterval-4 keypoint interpolation (the reference's own speedup,
+    # README.md:69-97): 1.7x faster at ~2% final-cost sacrifice.
+    derivs = kp.DerivsInterpolation("setInterval", minN=4,
+                                    max_keypoints=14, jac_chunk=JAC_CHUNK)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
-                      max_iters=MAX_ITERS, derivs=derivs)
+                      max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
+                      parallel_backward=False)
     mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)

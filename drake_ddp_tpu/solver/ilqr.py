@@ -59,6 +59,10 @@ class ILQRConfig(NamedTuple):
             reference's raise-on-failure behavior exactly.
         reg_mult: adaptive regularization growth/decay factor.
         reg_max: divergence is declared only once reg exceeds this.
+        parallel_backward: run the Riccati sweep as an O(log N)-depth
+            associative scan (solver/parscan.py) instead of the
+            sequential reverse scan — wins on long horizons where the
+            sweep is latency-bound.
         derivs: keypoint derivative-interpolation config.
         ls_parallel: linesearch candidates evaluated per vectorized
             rollout.  The reference tries one eps at a time (ilqr.py:302);
@@ -80,6 +84,7 @@ class ILQRConfig(NamedTuple):
     reg_max: float = 1e3
     derivs: kp.DerivsInterpolation = kp.BASELINE
     ls_parallel: int = 8
+    parallel_backward: bool = False
 
 
 class ILQRProblem(NamedTuple):
@@ -291,7 +296,18 @@ def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu,
     Uses the reference's exact update equations (Gauss-Newton iLQR with
     first-order dynamics only), with a linear solve instead of an explicit
     inverse and optional Tikhonov regularization on Quu.
+
+    TPU matmuls default to bf16 passes; over an N-step value recursion
+    that compounds to visible gain error and can overflow to NaN on
+    stiff problems — pin full f32 inside the sweep (scoped here, not
+    solver-wide: an all-f32 program at batch 256 crashes the TPU
+    compiler).
     """
+    with jax.default_matmul_precision("float32"):
+        return _backward_pass_impl(cfg, prob, x_bar, u_bar, fx, fu, reg)
+
+
+def _backward_pass_impl(cfg, prob, x_bar, u_bar, fx, fu, reg=None):
     n = x_bar.shape[-1]
     m = u_bar.shape[-1]
     x_nom, Q, R, Qf = prob.x_nom, prob.Q, prob.R, prob.Qf
@@ -409,8 +425,13 @@ def solve_ilqr(
 
         fx, fu, percent = jax.lax.cond(
             failed, cached_derivs, fresh_derivs, operand=None)
-        kappa, K, dV = _backward_pass(cfg, prob, x_use, u_use, fx, fu,
-                                      reg=reg_new)
+        if cfg.parallel_backward:
+            from drake_ddp_tpu.solver.parscan import parallel_backward_pass
+            kappa, K, dV = parallel_backward_pass(
+                cfg, prob, x_use, u_use, fx, fu, reg=reg_new)
+        else:
+            kappa, K, dV = _backward_pass(cfg, prob, x_use, u_use, fx, fu,
+                                          reg=reg_new)
 
         it = state.iteration
         stats = ILQRStats(
