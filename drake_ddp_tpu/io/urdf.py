@@ -422,8 +422,14 @@ def _add_collision(gs: GeometrySet, body: int, c: UrdfCollision,
                    base_dir: str, mesh_max_spheres: int):
     if c.kind == "mesh":
         path = os.path.join(base_dir, c.mesh_file)
-        verts = load_obj_vertices(path) * c.mesh_scale
-        for center, radius in approximate_spheres(verts, mesh_max_spheres):
+        # fast path: native sphere cover (drake_ddp_tpu/native); Python
+        # fallback implements the identical algorithm
+        from drake_ddp_tpu.native import sphere_cover
+        spheres = sphere_cover(path, c.mesh_scale, mesh_max_spheres)
+        if spheres is None:
+            verts = load_obj_vertices(path) * c.mesh_scale
+            spheres = approximate_spheres(verts, mesh_max_spheres)
+        for center, radius in spheres:
             gs.add(CollisionGeometry(
                 body, SPHERE,
                 c.pos + c.rot @ center, np.eye(3),
