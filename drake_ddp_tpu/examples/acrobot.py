@@ -24,6 +24,8 @@ class Config:
     T: float = 3.0
     dt: float = 0.004
     beta: float = 0.5
+    # "ilqr" or "sqp" (direct transcription; reference acrobot.py:25)
+    method: str = "ilqr"
     MPC: bool = False
     num_resolves: int = 50
     replan_steps: int = 2
@@ -59,8 +61,12 @@ def run(cfg: Config = Config()):
         ilqr.SetRunningCost(Q, R)
         ilqr.SetTerminalCost(Qf)
         ilqr.SetInitialGuess(np.zeros((1, num_steps - 1)))
-        states, inputs, solve_time, optimal_cost = ilqr.Solve()
-        print(f"Solved in {solve_time} seconds using iLQR")
+        if cfg.method == "sqp":
+            states, inputs, solve_time, optimal_cost = \
+                ilqr.SolveDirectTranscription()
+        else:
+            states, inputs, solve_time, optimal_cost = ilqr.Solve()
+        print(f"Solved in {solve_time} seconds using {cfg.method}")
         print(f"Optimal cost: {optimal_cost}")
         return states, inputs, solve_time, optimal_cost
 

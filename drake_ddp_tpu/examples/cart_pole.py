@@ -24,6 +24,8 @@ class Config:
     T: float = 2.0
     dt: float = 1e-2
     beta: float = 0.9
+    # "ilqr" or "sqp" (direct transcription; reference cart_pole.py:23)
+    method: str = "ilqr"
     # derivative interpolation (cart_pole.py:25-30)
     use_derivative_interpolation: bool = False
     keypoint_method: str = "adaptiveJerk"
@@ -62,8 +64,12 @@ def build_solver(cfg: Config):
 
 def run(cfg: Config = Config()):
     ilqr = build_solver(cfg)
-    states, inputs, solve_time, optimal_cost = ilqr.Solve()
-    print(f"Solved in {solve_time} seconds using iLQR")
+    if cfg.method == "sqp":
+        states, inputs, solve_time, optimal_cost = \
+            ilqr.SolveDirectTranscription()
+    else:
+        states, inputs, solve_time, optimal_cost = ilqr.Solve()
+    print(f"Solved in {solve_time} seconds using {cfg.method}")
     print(f"Optimal cost: {optimal_cost}")
     return states, inputs, solve_time, optimal_cost
 

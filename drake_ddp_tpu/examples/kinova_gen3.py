@@ -193,5 +193,22 @@ def run(cfg: Config = Config(), save_file: Optional[str] = None):
     return x, u, solve_time, cost
 
 
+def playback(save_file: str, cfg: Config = Config(),
+             html_out: Optional[str] = None):
+    """Replay a previously saved solution without re-optimizing
+    (reference optimize=False path, kinova_gen3.py:292-311): returns
+    (t, x_bar) and optionally writes the self-contained HTML player."""
+    from drake_ddp_tpu.io.solution import load_solution
+
+    sol = load_solution(save_file)
+    if html_out is not None:
+        from drake_ddp_tpu.viz import export_html
+
+        system, model = build_system(cfg)
+        export_html(html_out, model, system.params[1], sol["x_bar"],
+                    cfg.dt, playback_rate=0.125)  # (kinova_gen3.py:35)
+    return sol["t"], sol["x_bar"]
+
+
 if __name__ == "__main__":
     run()

@@ -22,6 +22,9 @@ class Config:
     delta: float = 1e-2
     beta: float = 0.95
     gamma: float = 0.0
+    # "ilqr" or "sqp" — the reference's solver switch (pendulum.py:23);
+    # "sqp" runs the direct-transcription baseline.
+    method: str = "ilqr"
     verbose: bool = True
 
 
@@ -46,8 +49,12 @@ def build_solver(cfg: Config):
 
 def run(cfg: Config = Config()):
     ilqr = build_solver(cfg)
-    states, inputs, solve_time, optimal_cost = ilqr.Solve()
-    print(f"Solved in {solve_time} seconds using iLQR")
+    if cfg.method == "sqp":
+        states, inputs, solve_time, optimal_cost = \
+            ilqr.SolveDirectTranscription()
+    else:
+        states, inputs, solve_time, optimal_cost = ilqr.Solve()
+    print(f"Solved in {solve_time} seconds using {cfg.method}")
     print(f"Optimal cost: {optimal_cost}")
     return states, inputs, solve_time, optimal_cost
 

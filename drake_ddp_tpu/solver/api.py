@@ -168,6 +168,27 @@ class IterativeLinearQuadraticRegulator:
 
     # -- persistence (reference ilqr.py:712-733) -------------------------
 
+    def SolveDirectTranscription(self, tcfg=None):
+        """Solve the same problem with the direct-transcription baseline
+        (the reference's SQP comparison path, pendulum.py:109-141) and
+        return the same (x, u, solve_time, cost) contract."""
+        from drake_ddp_tpu.solver.transcription import (
+            TranscriptionConfig,
+            solve_transcription,
+        )
+
+        tcfg = tcfg or TranscriptionConfig(num_steps=self.N)
+        st = time.time()
+        sol = jax.jit(
+            lambda p: solve_transcription(self.system, tcfg, p)
+        )(self._problem())
+        sol = jax.tree_util.tree_map(np.asarray, jax.device_get(sol))
+        solve_time = time.time() - st
+        if self.verbose:
+            print(f"transcription defect: {float(sol.defect):.2e}, "
+                  f"objective: {float(sol.objective):.4f}")
+        return sol.x.T, sol.u.T, solve_time, float(sol.cost)
+
     def SaveSolution(self, fname: str):
         """Save (t, x_bar, u_bar, K) to .npz; the feedback law
         u = u_bar - K (x - x_bar) stabilizes the trajectory."""
