@@ -57,6 +57,63 @@ def smooth_relu(x: jax.Array, eps: float = 1e-3) -> jax.Array:
     return 0.5 * (x + jnp.sqrt(x * x + eps * eps))
 
 
+def contact_forces_implicit(
+    phi: jax.Array,      # (NC,) penetration at q (positive = contact)
+    normal: jax.Array,   # (NC, 3) unit normal
+    v_rel: jax.Array,    # (NC, 3) candidate contact-point velocity
+    K: jax.Array,        # (NC,)
+    d: jax.Array,        # (NC,)
+    mu: jax.Array,       # (NC,)
+    dt: float,
+    params: ContactForceParams = ContactForceParams(),
+):
+    """Force with implicitly-predicted penetration phi' = phi - dt*(n.v),
+    plus its exact Jacobian D = df/dv_rel (NC, 3, 3).
+
+    This is the analytic derivative of ``contact_forces(phi - dt*vn, ...)``
+    w.r.t. v_rel, used by the Newton contact solve in multibody/plant.py.
+    An analytic D keeps the rollout scan's trace small: jacfwd of the
+    residual re-traces the whole force path with nv-wide tangents at
+    every Newton iteration of every timestep, and the rollout's per-step
+    latency is the throughput wall of the batched MPC benchmark.
+
+    Derivation (per contact, sigma = sqrt(|vt|^2 + vs^2), P = I - n n',
+    b = dfn/dvn):
+        D = (n - mu vt/sigma) b n' - (mu fn/sigma) P + (mu fn/sigma^3) vt vt'
+    """
+    w = params.smooth_width
+    vs = params.stiction_vel
+    s = params.force_scale
+    vn = jnp.einsum("ci,ci->c", v_rel, normal)
+    z = (phi - dt * vn) / w
+    phi_s = jax.nn.softplus(z) * w
+    sig = jax.nn.sigmoid(z)
+    fn0 = s * K * phi_s * phi_s
+    eps = 1e-3  # smooth_relu default width
+    xx = 1.0 - d * vn
+    rt = jnp.sqrt(xx * xx + eps * eps)
+    hc = 0.5 * (xx + rt)          # smooth_relu(1 - d vn)
+    dhc = 0.5 * (1.0 + xx / rt)   # its derivative w.r.t. (1 - d vn)
+    fn = fn0 * hc
+    vt = v_rel - vn[:, None] * normal
+    sigma = jnp.sqrt(jnp.einsum("ci,ci->c", vt, vt) + vs * vs)
+    mu_over = mu * fn / sigma
+    f = fn[:, None] * normal - mu_over[:, None] * vt
+
+    b = -(2.0 * s * K * phi_s * sig * dt * hc + fn0 * dhc * d)
+    vt_unit = vt / sigma[:, None]
+    eye = jnp.eye(3, dtype=v_rel.dtype)
+    P = eye[None] - normal[:, :, None] * normal[:, None, :]
+    D = (
+        (normal - mu[:, None] * vt_unit)[:, :, None]
+        * (b[:, None] * normal)[:, None, :]
+        - mu_over[:, None, None] * P
+        + (mu_over / (sigma * sigma))[:, None, None]
+        * (vt[:, :, None] * vt[:, None, :])
+    )
+    return f, D
+
+
 def contact_forces(
     phi: jax.Array,      # (NC,) penetration (positive = contact)
     normal: jax.Array,   # (NC, 3) unit normal (force on body A along +n)

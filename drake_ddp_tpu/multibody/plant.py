@@ -24,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from drake_ddp_tpu.contact.forces import ContactForceParams, contact_forces
+from drake_ddp_tpu.contact.forces import (
+    ContactForceParams,
+    contact_forces,
+    contact_forces_implicit,
+)
 from drake_ddp_tpu.contact.geometry import ContactModel, narrowphase
 from drake_ddp_tpu.dynamics.base import DiscreteSystem
 from drake_ddp_tpu.multibody.algorithms import (
@@ -108,11 +112,21 @@ def multibody_step(
             # stiff contact solve, which is enough to wreck iLQR descent
             # directions (and IFT halves the trace: no second-order
             # nesting under the solver's jacfwd).
+            def newton_jac(vp):
+                # Exact dresidual/dvp = M - dt * Jc' D Jc with the
+                # closed-form force Jacobian D — jacfwd of the residual
+                # re-traces the force path nv-wide per Newton iteration,
+                # which dominates the rollout scan's per-step latency.
+                v_rel = jnp.einsum("cin,n->ci", Jc, vp)
+                _, D = contact_forces_implicit(
+                    phi, normal, v_rel, K, d, mu, dt, force_params)
+                return dyn.M - dt * jnp.einsum(
+                    "cin,cij,cjm->nm", Jc, D, Jc)
+
             def newton(res_fn, v0):
                 vp = v0
                 for _ in range(contact_iters):
-                    G = jax.jacfwd(res_fn)(vp)
-                    vp = vp - solve_small(G, res_fn(vp))
+                    vp = vp - solve_small(newton_jac(vp), res_fn(vp))
                 return vp
 
             def tangent_solve(g, y):
