@@ -42,6 +42,11 @@ class DiscreteSystem:
     n: int
     m: int
     dt: float
+    # Optional lane-major (batch-last) twin of step_fn for throughput-
+    # critical batched rollouts: (x_T (n, B), u_T (m, B)) -> (n, B).
+    # See multibody/lanestep.py; None = derive via vmap when needed.
+    lane_step_fn: Any = dataclasses.field(
+        default=None, metadata={"static": True})
 
     def step(self, x: jax.Array, u: jax.Array) -> jax.Array:
         """Compute x_next = f(x, u)."""

@@ -99,3 +99,69 @@ def mpc_solve(
         final_x=x_last,
         final_u=u_last,
     )
+
+
+def shift_warm_start_batched(u: jax.Array, replan_steps: int) -> jax.Array:
+    """Batched shift: u (B, N-1, m)."""
+    tail = u[:, replan_steps:]
+    pad = jnp.tile(u[:, -1:], (1, replan_steps, 1))
+    return jnp.concatenate([tail, pad], axis=1)
+
+
+def mpc_solve_batched(
+    system: DiscreteSystem,
+    cfg: ILQRConfig,
+    prob: ILQRProblem,
+    mpc: MPCConfig,
+    x_nom_shift: Optional[jax.Array] = None,
+    rollout_kernel: str = "auto",
+) -> MPCResult:
+    """Batched mirror of :func:`mpc_solve` built on
+    solver/batched.solve_ilqr_batched: ``prob`` leaves carry a leading
+    batch axis B and the MPCResult leaves do too.  The linesearch
+    rollouts run through the lane-major / Pallas step (see
+    solver/batched.py) instead of a vmapped per-scenario scan."""
+    from drake_ddp_tpu.solver.batched import solve_ilqr_batched
+
+    N, rs = cfg.num_steps, mpc.replan_steps
+    solve = lambda p: solve_ilqr_batched(system, cfg, p,
+                                         rollout_kernel=rollout_kernel)
+    sol0 = solve(prob)
+
+    def resolve(carry, _):
+        x_prev, u_prev, x_nom = carry
+        u_guess = shift_warm_start_batched(u_prev, rs)
+        x0 = x_prev[:, rs]
+        x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
+        p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        sol = solve(p)
+        return (sol.x, sol.u, x_nom_new), (
+            sol.x, sol.cost, sol.iterations, sol.diverged)
+
+    (x_last, u_last, _), (xs, costs, iters, divs) = jax.lax.scan(
+        resolve,
+        (sol0.x, sol0.u, prob.x_nom),
+        None,
+        length=mpc.num_resolves,
+    )
+
+    total = N + rs * mpc.num_resolves
+    B, n = prob.x0.shape
+    states = jnp.zeros((B, total, n), sol0.x.dtype)
+    states = jax.lax.dynamic_update_slice(states, sol0.x, (0, 0, 0))
+
+    def write(i, st):
+        return jax.lax.dynamic_update_slice(st, xs[i], (0, (i + 1) * rs, 0))
+
+    states = jax.lax.fori_loop(0, mpc.num_resolves, write, states)
+
+    cat = lambda first, rest: jnp.concatenate(
+        [first[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+    return MPCResult(
+        states=states,
+        costs=cat(sol0.cost, costs),
+        iterations=cat(sol0.iterations, iters),
+        diverged=cat(sol0.diverged, divs),
+        final_x=x_last,
+        final_u=u_last,
+    )

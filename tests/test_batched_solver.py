@@ -1,0 +1,89 @@
+"""solve_ilqr_batched (solver/batched.py) must reproduce
+jax.vmap(solve_ilqr) — same accepted eps, same costs, same iterates."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from drake_ddp_tpu.solver.batched import solve_ilqr_batched
+from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem, solve_ilqr
+
+
+def _tile_prob(prob, B, x0_jitter=None):
+    tile = lambda a: jnp.tile(jnp.asarray(a, jnp.float32)[None],
+                              (B,) + (1,) * np.ndim(a))
+    p = ILQRProblem(*[tile(l) for l in prob])
+    if x0_jitter is not None:
+        p = p._replace(x0=p.x0 + x0_jitter)
+    return p
+
+
+def test_batched_matches_vmap_pendulum():
+    from drake_ddp_tpu.examples import pendulum as ex
+
+    cfg_e = ex.Config(verbose=False)
+    ilqr = ex.build_solver(cfg_e)
+    system, scfg = ilqr.system, ilqr.config
+    prob = ilqr._problem()
+    B = 4
+    rng = np.random.default_rng(0)
+    jit0 = jnp.asarray(0.1 * rng.standard_normal((B, 2)), jnp.float32)
+    probs = _tile_prob(prob, B, jit0)
+
+    ref = jax.jit(jax.vmap(lambda p: solve_ilqr(system, scfg, p)))(probs)
+    got = jax.jit(lambda p: solve_ilqr_batched(system, scfg, p))(probs)
+
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
+                               rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got.iterations),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(got.stats.eps), np.asarray(ref.stats.eps), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.stats.ls_iters),
+                                  np.asarray(ref.stats.ls_iters))
+
+
+def test_batched_matches_vmap_cheetah_short():
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+
+    cfg = mc.Config()
+    system, _ = mc.build_system(cfg)
+    N = 10
+    Q, R, Qf = mc.costs(cfg)
+    x0, x_nom = mc.initial_and_target(cfg)
+    scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
+                      max_iters=3, ls_parallel=4)
+    B = 3
+    rng = np.random.default_rng(1)
+    x0b = np.tile(np.asarray(x0, np.float32), (B, 1))
+    x0b[:, 19:] += 0.05 * rng.standard_normal((B, 18)).astype(np.float32)
+    tile = lambda a: jnp.tile(jnp.asarray(a, jnp.float32)[None],
+                              (B,) + (1,) * np.ndim(a))
+    probs = ILQRProblem(
+        x0=jnp.asarray(x0b),
+        x_nom=tile(np.asarray(x_nom)),
+        Q=tile(cfg.dt * Q), R=tile(cfg.dt * R), Qf=tile(Qf),
+        u_init=tile(np.tile(np.asarray(mc.U_STAND, np.float32),
+                            (N - 1, 1))),
+    )
+
+    ref = jax.jit(jax.vmap(lambda p: solve_ilqr(system, scfg, p)))(probs)
+    got = jax.jit(lambda p: solve_ilqr_batched(system, scfg, p))(probs)
+
+    # through stiff contact f32 reassociation shifts trajectories a bit;
+    # the solver path must stay the same: equal iteration/ls counts and
+    # costs within a small relative tolerance
+    np.testing.assert_array_equal(np.asarray(got.iterations),
+                                  np.asarray(ref.iterations))
+    np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
+                               rtol=2e-2)
+    # deep-backtracked eps (~beta^20) flips by a factor of beta under f32
+    # reassociation through stiff contact; require agreement only where
+    # the accepted step is meaningful
+    ge, re_ = np.asarray(got.stats.eps), np.asarray(ref.stats.eps)
+    mask = re_ > 1e-3
+    np.testing.assert_allclose(ge[mask], re_[mask], rtol=1e-5)
+    assert not np.any(np.asarray(got.diverged))
