@@ -28,7 +28,8 @@ def main():
     import jax.numpy as jnp
 
     from drake_ddp_tpu.examples import mini_cheetah as mc
-    from drake_ddp_tpu.mpc.driver import MPCConfig, mpc_solve, shift_warm_start
+    from drake_ddp_tpu.mpc.driver import (MPCConfig, mpc_solve_batched,
+                                          shift_warm_start_batched)
     from drake_ddp_tpu.solver import keypoints as kp
     from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
 
@@ -65,8 +66,11 @@ def main():
                             (BATCH, N - 1, 1)),
         )
 
-    fn = jax.jit(jax.vmap(lambda p: mpc_solve(system, scfg, p, mpcc, shift)))
-    vshift = jax.jit(jax.vmap(lambda u: shift_warm_start(u, rs)))
+    # natively-batched solver: linesearch rollouts run through the
+    # Pallas mega-step kernel (ops/megastep.py) — measured ~4x faster
+    # than jax.vmap(mpc_solve) at this batch on v5e
+    fn = jax.jit(lambda p: mpc_solve_batched(system, scfg, p, mpcc, shift))
+    vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
 
     # Warmup/compile.  NOTE: inputs must differ between reps and results
     # must be forced with np.asarray — the axon tunnel result-caches
