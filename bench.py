@@ -17,9 +17,9 @@ import time
 import numpy as np
 
 BATCH = 256
-MAX_ITERS = 6
-RESOLVE_CHUNK = 10      # resolves per device call (long single executions
-NUM_CHUNKS = 5          # can trip the axon tunnel's watchdog)
+MAX_ITERS = 16
+RESOLVE_CHUNK = 5       # resolves per device call (long single executions
+NUM_CHUNKS = 3          # can trip the axon tunnel's watchdog)
 JAC_CHUNK = 14
 
 
@@ -75,8 +75,11 @@ def main():
     # Warmup/compile.  NOTE: inputs must differ between reps and results
     # must be forced with np.asarray — the axon tunnel result-caches
     # identical executions and block_until_ready may not block.
+    import sys
+    print("bench: compiling...", file=sys.stderr, flush=True)
     res = fn(make_prob(1000))
     np.asarray(res.costs)
+    print("bench: warm, measuring...", file=sys.stderr, flush=True)
 
     # One 100-resolve MPC run per scenario, chained across NUM_CHUNKS
     # device calls: each chunk continues from the previous final state
@@ -85,6 +88,7 @@ def main():
     st = time.perf_counter()
     diverged = 0.0
     for c in range(NUM_CHUNKS):
+        print(f"bench: chunk {c}", file=sys.stderr, flush=True)
         res = fn(prob)
         prob = prob._replace(
             x0=res.final_x[:, rs],

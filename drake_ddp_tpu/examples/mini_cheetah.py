@@ -70,7 +70,11 @@ class Config:
     dissipation: float = 0.0
     hydroelastic_modulus: float = 5e6
     resolution_hint: float = 0.1
-    contact_iters: int = 2
+    # 4 Newton iterations, not 2: with the stiff zero-dissipation ground
+    # at dt = 4e-3, 2 iterations under-resolve fast foot impacts and
+    # inject energy — receding-horizon chains then fall over within ~10
+    # resolves; at 4 the 20-resolve walking chain stays bounded.
+    contact_iters: int = 4
     # Narrow force smoothing: at dt = 4e-3 with zero dissipation, the
     # library's wider optimizability default (3e-3) lets hovering feet
     # pick up phantom forces that pump energy into the gait rollout.

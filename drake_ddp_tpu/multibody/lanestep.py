@@ -614,21 +614,32 @@ def make_lane_step(
                 tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                 v_next = v + dt * solve_spd_T(M, tau + tau_c)
             else:
-                vp = v + dt * solve_spd_T(M, tau)        # contact-free predictor
-                for _ in range(contact_iters):
+                def residual_T(vp):
                     v_rel = jnp.sum(Jc * vp[None, None], axis=2)
                     f, D = _contact_forces_implicit_T(
                         phi, normal, v_rel, K, d, mu, dt, force_params)
                     tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                     res = jnp.sum(M * (vp - v)[None], axis=1) - dt * (
                         tau + tau_c)
+                    return res, D
+
+                vp = v + dt * solve_spd_T(M, tau)        # contact-free predictor
+                for _ in range(contact_iters):
+                    res, D = residual_T(vp)
                     # G = M - dt Jc' D Jc via E = D Jc (unrolled) and a
                     # chunked sum of outer products
                     E = sum(D[:, :, j][:, :, None] * Jc[:, j][:, None]
                             for j in range(3))
                     Ef = E.reshape(3 * nc, nv, -1)
                     G = M - dt * _outer_sum(Jf, Ef)
-                    vp = vp - solve_small_T(G, res)
+                    dv = solve_small_T(G, res)
+                    # damped Newton (see plant.py): per-lane half step if
+                    # the full step's residual grew (impact overshoot)
+                    vp1 = vp - dv
+                    r1, _ = residual_T(vp1)
+                    grew = (jnp.sum(r1 * r1, axis=0)
+                            > 4.0 * jnp.sum(res * res, axis=0))  # (B,)
+                    vp = jnp.where(grew[None], vp - 0.5 * dv, vp1)
                 v_next = vp
 
         q_next = _integrate_positions_T(model, q, v_next, dt)

@@ -131,9 +131,23 @@ def multibody_step(
                 return dyn.M - dt * Jf.T @ Ef
 
             def newton(res_fn, v0):
+                # Damped Newton: a full step can overshoot through the
+                # stiff force profile during fast impacts (fn ~ K phi^2
+                # with K ~ 1e5) and inject energy; fall back to a half
+                # step whenever the full step's residual grew.
                 vp = v0
                 for _ in range(contact_iters):
-                    vp = vp - solve_small(newton_jac(vp), res_fn(vp))
+                    r = res_fn(vp)
+                    dv = solve_small(newton_jac(vp), r)
+                    vp1 = vp - dv
+                    r1 = res_fn(vp1)
+                    # damp only on CLEAR overshoot (4x residual-norm^2,
+                    # i.e. the norm doubled): impacts blow the residual
+                    # up by orders of magnitude, while a knife-edge
+                    # threshold flips on f32 reassociation noise between
+                    # the scalar and lane-major step implementations.
+                    grew = jnp.sum(r1 * r1) > 4.0 * jnp.sum(r * r)
+                    vp = jnp.where(grew, vp - 0.5 * dv, vp1)
                 return vp
 
             def tangent_solve(g, y):

@@ -91,7 +91,8 @@ def _tile_c(a, C):
     return jnp.tile(a, (1,) * (a.ndim - 1) + (C,))
 
 
-def _chunk_rollout_lanes(step_T, prob, state, eps_cb):
+def _chunk_rollout_lanes(step_T, prob, state, eps_cb,
+                         cost_ceiling=float("inf")):
     """Closed-loop rollouts for eps_cb (C, B) candidates in one scan.
 
     prob/state leaves carry a leading batch axis B.  Returns
@@ -139,7 +140,7 @@ def _chunk_rollout_lanes(step_T, prob, state, eps_cb):
     terminal = jnp.sum(dxf * jnp.einsum("ijB,jB->iB", Qf_T, dxf), axis=0)
     steps = jnp.concatenate([running, terminal[None]], axis=0)  # (N, CB)
     L = jnp.sum(steps, axis=0)
-    L = jnp.where(jnp.isfinite(L), L, jnp.inf)
+    L = jnp.where(jnp.isfinite(L) & (L <= cost_ceiling), L, jnp.inf)
 
     # back to batch-first candidate-major layout
     x_out = jnp.moveaxis(x_full.reshape(N, n, C, B), (2, 3), (0, 1))
@@ -165,7 +166,8 @@ def _linesearch_batched(step_T, cfg, prob, state):
 
     def chunk(eps_start):
         eps_cb = eps_start[None, :] * powers[:, None]     # (C, B)
-        x, u, L, steps = _chunk_rollout_lanes(step_T, prob, state, eps_cb)
+        x, u, L, steps = _chunk_rollout_lanes(step_T, prob, state, eps_cb,
+                                              cfg.cost_ceiling)
         expected = -eps_cb * (1.0 - eps_cb / 2.0) * dV_sum[None]
         diff = jnp.sum(steps_bar[None] - steps, axis=2)   # (C, B)
         improvement = jnp.where(

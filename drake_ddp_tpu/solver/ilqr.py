@@ -48,6 +48,11 @@ class ILQRConfig(NamedTuple):
             unbounded; a bound is required for a compiled while_loop's
             diagnostics buffers).
         eps_min: linesearch failure threshold (ilqr.py:302).
+        cost_ceiling: candidate trajectories whose total cost exceeds
+            this are rejected exactly like infeasible rollouts (the
+            reference's L = inf treatment, ilqr.py:315-323) — a lane
+            whose dynamics blew up diverges cleanly instead of dragging
+            a batched linesearch through deep backtracking.  inf = off.
         reg: initial Quu Tikhonov regularization added before the gain
             solve.  The reference uses none (ilqr.py:655); stiff contact
             in f32 regularly produces indefinite Quu, so the solver uses
@@ -79,6 +84,7 @@ class ILQRConfig(NamedTuple):
     gamma: float = 0.0
     max_iters: int = 100
     eps_min: float = 1e-8
+    cost_ceiling: float = float("inf")
     reg: float = 1e-6
     reg_mult: float = 10.0
     reg_max: float = 1e3
@@ -177,6 +183,7 @@ def _chunk_rollout(
     prob: ILQRProblem,
     state: _LoopState,
     eps_vec: jax.Array,
+    cost_ceiling: float = float("inf"),
 ):
     """Closed-loop rollouts for a whole vector of eps candidates in ONE
     scan over the horizon (candidate axis vectorized).
@@ -205,7 +212,12 @@ def _chunk_rollout(
     u = jnp.moveaxis(us, 1, 0)                   # (C, N-1, m)
     steps = jax.vmap(lambda xc, uc: _cost_steps(prob, xc, uc))(x, u)
     L = jnp.sum(steps, axis=1)
-    L = jnp.where(jnp.isfinite(L), L, jnp.inf)
+    # non-finite OR physically-implausible costs reject the candidate —
+    # the reference treats infeasible rollouts as L = inf
+    # (ilqr.py:315-323); cost_ceiling extends that to finite blow-ups so
+    # a garbage lane diverges instead of dragging the batch through deep
+    # backtracking.
+    L = jnp.where(jnp.isfinite(L) & (L <= cost_ceiling), L, jnp.inf)
     return x, u, L, steps
 
 
@@ -239,7 +251,8 @@ def _linesearch(
 
     def chunk(eps_start):
         eps_vec = eps_start * powers
-        x, u, L, steps = _chunk_rollout(step, prob, state, eps_vec)
+        x, u, L, steps = _chunk_rollout(step, prob, state, eps_vec,
+                                        cfg.cost_ceiling)
         # expected reduction sum_t -eps (1-eps/2) dV_coeff[t] (ilqr.py:326)
         expected = -eps_vec * (1.0 - eps_vec / 2.0) * dV_sum
         diff = jnp.sum(steps_bar[None, :] - steps, axis=1)
