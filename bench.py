@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 BATCH = 256
-MAX_ITERS = 16
+MAX_ITERS = 12
 RESOLVE_CHUNK = 5       # resolves per device call (long single executions
 NUM_CHUNKS = 3          # can trip the axon tunnel's watchdog)
 JAC_CHUNK = 14

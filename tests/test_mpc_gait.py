@@ -26,7 +26,7 @@ def test_cheetah_walking_chain_stays_upright():
     derivs = kp.DerivsInterpolation("setInterval", minN=4,
                                     max_keypoints=14, jac_chunk=14)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
-                      max_iters=16, derivs=derivs, ls_parallel=4)
+                      max_iters=12, derivs=derivs, ls_parallel=4)
     mpcc = MPCConfig(num_resolves=10, replan_steps=rs)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
