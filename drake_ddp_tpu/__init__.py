@@ -30,7 +30,9 @@ from drake_ddp_tpu.solver.transcription import (
     TranscriptionConfig,
     solve_transcription,
 )
-from drake_ddp_tpu.mpc.driver import MPCConfig, mpc_solve
+from drake_ddp_tpu.mpc.driver import (MPCConfig, mpc_solve,
+                                      mpc_solve_batched)
+from drake_ddp_tpu.solver.batched import solve_ilqr_batched
 from drake_ddp_tpu.parallel import batched_mpc, batched_solve, scenario_mesh
 
 __all__ = [
@@ -47,5 +49,7 @@ __all__ = [
     "mpc_solve",
     "batched_mpc",
     "batched_solve",
+    "solve_ilqr_batched",
+    "mpc_solve_batched",
     "scenario_mesh",
 ]
