@@ -20,7 +20,7 @@ BATCH = 256
 MAX_ITERS = 12
 RESOLVE_CHUNK = 5       # resolves per device call (long single executions
 NUM_CHUNKS = 3          # can trip the axon tunnel's watchdog)
-JAC_CHUNK = 14
+JAC_CHUNK = 8
 
 
 def main():
@@ -40,10 +40,11 @@ def main():
     x0, x_nom = mc.initial_and_target(cfg)
     rs = cfg.replan_steps
 
-    # setInterval-4 keypoint interpolation (the reference's own speedup,
-    # README.md:69-97): 1.7x faster at ~2% final-cost sacrifice.
-    derivs = kp.DerivsInterpolation("setInterval", minN=4,
-                                    max_keypoints=14, jac_chunk=JAC_CHUNK)
+    # setInterval-8 keypoint interpolation (the reference's own speedup,
+    # README.md:69-97): halves derivative cost; walking-chain quality
+    # verified equal to denser schedules at the stable-gait config.
+    derivs = kp.DerivsInterpolation("setInterval", minN=8,
+                                    max_keypoints=8, jac_chunk=JAC_CHUNK)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
                       parallel_backward=False)

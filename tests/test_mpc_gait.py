@@ -23,8 +23,8 @@ def test_cheetah_walking_chain_stays_upright():
     Q, R, Qf = mc.costs(cfg)
     x0, x_nom = mc.initial_and_target(cfg)
     rs = cfg.replan_steps
-    derivs = kp.DerivsInterpolation("setInterval", minN=4,
-                                    max_keypoints=14, jac_chunk=14)
+    derivs = kp.DerivsInterpolation("setInterval", minN=8,
+                                    max_keypoints=8, jac_chunk=8)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=12, derivs=derivs, ls_parallel=4)
     mpcc = MPCConfig(num_resolves=10, replan_steps=rs)
