@@ -47,6 +47,11 @@ class DiscreteSystem:
     # See multibody/lanestep.py; None = derive via vmap when needed.
     lane_step_fn: Any = dataclasses.field(
         default=None, metadata={"static": True})
+    # Optional lane-major Jacobian kernel for the solver's derivative
+    # hot loop: (x_T (n, L), u_T (m, L)) -> (fx (n, n, L), fu (n, m, L)).
+    # See multibody/lanejac.py; None = jax.jacfwd through step_fn.
+    lane_jac_fn: Any = dataclasses.field(
+        default=None, metadata={"static": True})
 
     def step(self, x: jax.Array, u: jax.Array) -> jax.Array:
         """Compute x_next = f(x, u)."""

@@ -115,6 +115,7 @@ def mpc_solve_batched(
     mpc: MPCConfig,
     x_nom_shift: Optional[jax.Array] = None,
     rollout_kernel: str = "auto",
+    deriv_kernel: str = "auto",
 ) -> MPCResult:
     """Batched mirror of :func:`mpc_solve` built on
     solver/batched.solve_ilqr_batched: ``prob`` leaves carry a leading
@@ -125,7 +126,8 @@ def mpc_solve_batched(
 
     N, rs = cfg.num_steps, mpc.replan_steps
     solve = lambda p: solve_ilqr_batched(system, cfg, p,
-                                         rollout_kernel=rollout_kernel)
+                                         rollout_kernel=rollout_kernel,
+                                         deriv_kernel=deriv_kernel)
     sol0 = solve(prob)
 
     def resolve(carry, _):

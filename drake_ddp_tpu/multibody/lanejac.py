@@ -1,0 +1,230 @@
+"""Lane-major structured-IFT dynamics Jacobians (fx, fu) for the solver.
+
+TPU-native replacement for the derivative hot loop (reference
+ilqr.py:233-272 ``_calc_dynamics_partials``: AutoDiffXd carrying
+(n+m)-wide dual numbers through the full contact dynamics; README.md:51
+calls this "the bottleneck for all these tasks").  The round-1 path was
+``jax.jacfwd`` through the per-scenario step (multibody/plant.py) batched
+with vmap — correct, but batch-first and pushing all n+m tangent
+directions through the entire step.
+
+This module exploits the step's *structure* instead.  The discrete step
+solves, implicitly in v',
+
+    res(v'; q, v, u) = M(q)(v' - v) - dt (B u - bias(q, v) + Jc(q)' f(v')) = 0
+    q' = q (+) dt N(q) v'
+
+so by the implicit function theorem
+
+    dv' = -G^{-1} (dres/dq dq + dres/dv dv + dres/du du),
+    G   = dres/dv' = M - dt Jc' D Jc   (already assembled by Newton)
+
+and the three tangent groups cost very differently:
+
+- **u-directions (m of them): free.**  dres/du = -dt B, a constant —
+  fu's velocity block is just ``dt G^{-1} B``.
+- **v-directions (nv): cheap.**  q-only terms (forward kinematics, M,
+  contact geometry, Jc) are constants — tangents only propagate through
+  the velocity-product bias term (``lanestep._bias_T``).
+- **q-directions (nq): the expensive group** — full tangent propagation
+  through FK / mass matrix / narrowphase / contact Jacobians / one force
+  evaluation, but NOT through the Newton iterations (primal only).
+
+Everything is lane-major (trailing batch axis, see lanestep.py) and the
+tangent groups are evaluated with ``jax.vmap``-over-``jax.jvp`` so the
+primal is computed once per group.  Equivalence with the per-scenario
+``jax.jacfwd`` path (plant.py lax.custom_root IFT) is pinned by
+tests/test_lanejac.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from drake_ddp_tpu.contact.forces import ContactForceParams
+from drake_ddp_tpu.contact.geometry import ContactModel
+from drake_ddp_tpu.multibody.lanestep import (
+    _bias_T,
+    _contact_force_pred_T,
+    _contact_forces_implicit_T,
+    _contact_primal_T,
+    _integrate_positions_T,
+    _kin_mass_T,
+    _outer_sum,
+    solve_small_T,
+    solve_spd_T,
+)
+from drake_ddp_tpu.multibody.model import MultibodyModel
+
+
+def inv_small_T(A):
+    """Gauss-Jordan inverse (no pivoting), lane-major: (n, n, B) -> same.
+
+    For the diagonally dominant contact Newton matrix G — the same
+    assumption as lanestep.solve_small_T.  Written as unrolled
+    elementwise row ops (Pallas/Mosaic-compatible, no scatters)."""
+    n = A.shape[0]
+    eye = np.eye(n)
+    aug = jnp.broadcast_to(np.asarray(eye, A.dtype)[:, :, None],
+                           A.shape)
+    Ab = jnp.concatenate([A, aug], axis=1)               # (n, 2n, B)
+    for k in range(n):
+        pivot_row = Ab[k]                                # (2n, B)
+        pivot = Ab[k][k]                                 # (B,)
+        factor = Ab[:, k] / pivot                        # (n, B)
+        factor = factor - factor * np.asarray(eye[k], A.dtype)[:, None]
+        Ab = Ab - factor[:, None, :] * pivot_row[None]
+    diag = jnp.stack([Ab[i][i] for i in range(n)])       # (n, B)
+    return Ab[:, n:] / diag[:, None]
+
+
+def make_lane_jac(
+    model: MultibodyModel,
+    contact: Optional[ContactModel],
+    dt: float,
+    contact_iters: int = 2,
+    force_params: ContactForceParams = ContactForceParams(),
+) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
+    """Build ``jac_T(x_L, u_L) -> (fx_L, fu_L)`` with x_L (n, L), u_L
+    (m, L); fx_L (n, n, L), fu_L (n, m, L) — the per-lane step Jacobians
+    d x'/d x and d x'/d u of plant.multibody_step.
+
+    Requires the implicit contact path (``contact_iters >= 1``) or a
+    contact-free model; the explicit ``contact_iters == 0`` step has a
+    different (non-IFT) Jacobian and keeps the jacfwd fallback.
+    """
+    nq, nv, nu = model.nq, model.nv, model.nu
+    n = nq + nv
+    B_np = np.asarray(model.actuation_matrix())          # (nv, nu)
+    has_contact = contact is not None and contact.num_contacts > 0
+    if has_contact and contact_iters < 1:
+        raise ValueError(
+            "lane_jac needs the implicit contact step (contact_iters >= 1)")
+
+    def jac_T(x: jax.Array, u: jax.Array):
+        dtype = x.dtype
+        L = x.shape[-1]
+        q, v = x[:nq], x[nq:]
+
+        # ---------------- primal (shared by every tangent group) -------
+        kinT, M, (J_ang, J_com, I_w, com_w), _ = _kin_mass_T(model, q)
+        bias = _bias_T(model, kinT, J_ang, J_com, I_w, com_w, v)
+        Bc = np.asarray(B_np, dtype)
+        tau = (jnp.sum(Bc[:, :, None] * u[None], axis=1)
+               if nu else jnp.zeros_like(bias)) - bias
+
+        if has_contact:
+            (phi, normal, point, body_a, body_b, Kp, dp, mup,
+             Jc) = _contact_primal_T(model, contact, kinT)
+            nc = Jc.shape[0]
+            Jf = Jc.reshape(3 * nc, nv, L)
+
+            def residual_T(vp):
+                v_rel = jnp.sum(Jc * vp[None, None], axis=2)
+                f, D = _contact_forces_implicit_T(
+                    phi, normal, v_rel, Kp, dp, mup, dt, force_params)
+                tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
+                res = jnp.sum(M * (vp - v)[None], axis=1) - dt * (
+                    tau + tau_c)
+                return res, D
+
+            def newton_mat(D):
+                E = sum(D[:, :, j][:, :, None] * Jc[:, j][:, None]
+                        for j in range(3))
+                return M - dt * _outer_sum(Jf, E.reshape(3 * nc, nv, L))
+
+            # same damped Newton as lanestep.make_lane_step (primal only)
+            vp = v + dt * solve_spd_T(M, tau)
+            for _ in range(contact_iters):
+                res, D = residual_T(vp)
+                G = newton_mat(D)
+                dv = solve_small_T(G, res)
+                vp1 = vp - dv
+                r1, _ = residual_T(vp1)
+                grew = (jnp.sum(r1 * r1, axis=0)
+                        > 4.0 * jnp.sum(res * res, axis=0))
+                vp = jnp.where(grew[None], vp - 0.5 * dv, vp1)
+            # G evaluated at the converged root (the IFT linearization
+            # point — reference analog: plant.py lax.custom_root
+            # tangent_solve)
+            _, D = residual_T(vp)
+            G = newton_mat(D)
+            Ginv = inv_small_T(G)
+        else:
+            vp = v + dt * solve_spd_T(M, tau)
+            Ginv = inv_small_T(M)
+
+        # ---------------- q-tangents (nq full directions) ---------------
+        # d res/dq with (v, u, vp) fixed; constant-in-q terms are dropped
+        # (their primal value is never used, only the tangent).
+        def res_of_q(qq):
+            kin2, M2, (Ja2, Jo2, Iw2, cw2), _ = _kin_mass_T(model, qq)
+            bias2 = _bias_T(model, kin2, Ja2, Jo2, Iw2, cw2, v)
+            acc = jnp.sum(M2 * (vp - v)[None], axis=1)
+            out = acc + dt * bias2
+            if has_contact:
+                (phi2, normal2, _pt2, _ba, _bb, _K2, _d2, _m2,
+                 Jc2) = _contact_primal_T(model, contact, kin2)
+                v_rel2 = jnp.sum(Jc2 * vp[None, None], axis=2)
+                f2 = _contact_force_pred_T(
+                    phi2, normal2, v_rel2, Kp, dp, mup, dt, force_params)
+                tau_c2 = jnp.sum(Jc2 * f2[:, :, None], axis=(0, 1))
+                out = out - dt * tau_c2
+            return out
+
+        def one_q(e):
+            dq = jnp.broadcast_to(e[:, None], (nq, L))
+            return jax.jvp(res_of_q, (q,), (dq,))[1]     # (nv, L)
+
+        dres_q = jax.vmap(one_q)(jnp.eye(nq, dtype=dtype))   # (nq, nv, L)
+
+        # ---------------- v-tangents (nv cheap directions) --------------
+        # only -M dv + dt d bias/dv dv survives; kinematics are constants
+        def res_of_v(vv):
+            bias2 = _bias_T(model, kinT, J_ang, J_com, I_w, com_w, vv)
+            return dt * bias2 - jnp.sum(M * vv[None], axis=1)
+
+        def one_v(e):
+            dv = jnp.broadcast_to(e[:, None], (nv, L))
+            return jax.jvp(res_of_v, (v,), (dv,))[1]
+
+        dres_v = jax.vmap(one_v)(jnp.eye(nv, dtype=dtype))   # (nv, nv, L)
+
+        # ---------------- assemble dv' = -G^{-1} dres -------------------
+        dres_x = jnp.concatenate([dres_q, dres_v], axis=0)   # (n, nv, L)
+        dvp_x = -sum(Ginv[None, :, j] * dres_x[:, j][:, None]
+                     for j in range(nv))                     # (n, nv, L)
+        if nu:
+            # u-directions: dres/du = -dt B  =>  dv' = dt G^{-1} B
+            dvp_u = dt * sum(
+                Ginv[:, j][None] * np.asarray(B_np[j], dtype)[:, None, None]
+                for j in range(nv))                          # (nu, nv, L)
+            dvp_all = jnp.concatenate([dvp_x, dvp_u], axis=0)
+        else:
+            dvp_all = dvp_x                                  # (n+m, nv, L)
+
+        # ---------------- q' tangents through the integrator ------------
+        def int_fn(qq, vv):
+            return _integrate_positions_T(model, qq, vv, dt)
+
+        def one_int(dq_e, dv_e):
+            return jax.jvp(int_fn, (q, vp), (dq_e, dv_e))[1]
+
+        ndir = n + nu
+        dq_in = jnp.concatenate([
+            jnp.broadcast_to(jnp.eye(nq, dtype=dtype)[:, :, None],
+                             (nq, nq, L)),
+            jnp.zeros((ndir - nq, nq, L), dtype),
+        ], axis=0)
+        dqn_all = jax.vmap(one_int)(dq_in, dvp_all)          # (ndir, nq, L)
+
+        dx_all = jnp.concatenate([dqn_all, dvp_all], axis=1)  # (ndir, n, L)
+        fx = jnp.moveaxis(dx_all[:n], 0, 1)                  # (n, n, L)
+        fu = jnp.moveaxis(dx_all[n:], 0, 1)                  # (n, nu, L)
+        return fx, fu
+
+    return jac_T

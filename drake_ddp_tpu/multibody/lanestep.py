@@ -277,11 +277,14 @@ def _body_jacobians_T(kinT, anc, points):
     return J_ang, J_lin
 
 
-def _dynamics_terms_T(model: MultibodyModel, q, v):
-    """Lane-major mirror of algorithms.dynamics_terms."""
-    nb = model.nb
+def _kin_mass_T(model: MultibodyModel, q):
+    """q-only dynamics terms: kinematics, world inertias, mass matrix.
+
+    Split out of the full bias computation so the solver's derivative
+    path (multibody/lanejac.py) can propagate v-tangents through
+    ``_bias_T`` alone — forward kinematics and M depend only on q.
+    """
     dtype = q.dtype
-    B = q.shape[-1]
     kinT = _fk_T(model, q)
     R, p, dof_axis_w, dof_origin_w, is_ang, is_lin = kinT
     anc = np.asarray(ancestor_dof_mask(model), dtype)
@@ -290,8 +293,6 @@ def _dynamics_terms_T(model: MultibodyModel, q, v):
     com_w = p + sum(R[:, :, j] * np.asarray(com[:, j], dtype)[:, None, None]
                     for j in range(3))
     J_ang, J_com = _body_jacobians_T(kinT, anc, com_w)
-
-    w = jnp.sum(J_ang * v[None, None], axis=2)          # (nb, 3, B)
 
     inertia = np.asarray(model.inertia)                 # (nb, 3, 3)
     mass = np.asarray(model.mass)                       # (nb,)
@@ -305,15 +306,29 @@ def _dynamics_terms_T(model: MultibodyModel, q, v):
     # M = sum_b J_ang' I_w J_ang + m J_com' J_com + diag(armature)
     W = sum(I_w[:, :, j][:, :, None] * J_ang[:, j][:, None]
             for j in range(3))
+    nb = model.nb
     nbv = nb * 3
-    Ja_f = J_ang.reshape(nbv, model.nv, B)
-    W_f = W.reshape(nbv, model.nv, B)
-    Jc_f = J_com.reshape(nbv, model.nv, B)
+    Ja_f = J_ang.reshape(nbv, model.nv, q.shape[-1])
+    W_f = W.reshape(nbv, model.nv, q.shape[-1])
+    Jc_f = J_com.reshape(nbv, model.nv, q.shape[-1])
     mass3 = np.asarray(np.repeat(mass, 3), dtype)[:, None, None]
     M = (_outer_sum(Ja_f, W_f)
          + _outer_sum(Jc_f, mass3 * Jc_f)
          + np.asarray(np.diag(np.asarray(model.armature)),
                       dtype)[:, :, None])
+    return kinT, M, (J_ang, J_com, I_w, com_w), anc
+
+
+def _bias_T(model: MultibodyModel, kinT, J_ang, J_com, I_w, com_w, v):
+    """v-dependent bias forces given precomputed q-only terms."""
+    nb = model.nb
+    R, p, dof_axis_w, dof_origin_w, is_ang, is_lin = kinT
+    dtype = v.dtype
+    B = v.shape[-1]
+    anc = np.asarray(ancestor_dof_mask(model), dtype)
+    mass = np.asarray(model.mass)
+
+    w = jnp.sum(J_ang * v[None, None], axis=2)          # (nb, 3, B)
 
     # velocity-product accelerations with qddot = 0 (world frame)
     wp_dof = []
@@ -357,6 +372,13 @@ def _dynamics_terms_T(model: MultibodyModel, q, v):
     bias = (jnp.sum(J_ang * T[:, :, None], axis=(0, 1))
             + jnp.sum(J_com * F[:, :, None], axis=(0, 1)))
     bias = bias + np.asarray(model.damping, dtype)[:, None] * v
+    return bias
+
+
+def _dynamics_terms_T(model: MultibodyModel, q, v):
+    """Lane-major mirror of algorithms.dynamics_terms."""
+    kinT, M, (J_ang, J_com, I_w, com_w), anc = _kin_mass_T(model, q)
+    bias = _bias_T(model, kinT, J_ang, J_com, I_w, com_w, v)
     return kinT, M, bias, anc
 
 
@@ -524,6 +546,32 @@ def _contact_forces_T(phi, normal, v_rel, K, d, mu, params):
     return fn[:, None] * normal + ft
 
 
+def _contact_force_pred_T(phi, normal, v_rel, K, d, mu, dt, params):
+    """Force-only twin of :func:`_contact_forces_implicit_T` (same f, no
+    Jacobian D) — used where only the force is needed so traced jaxprs
+    (Pallas kernels, JVPs) don't carry dead D code."""
+    dtype = phi.dtype
+    Kc = np.asarray(K, dtype)[:, None]
+    dc = np.asarray(d, dtype)[:, None]
+    muc = np.asarray(mu, dtype)[:, None]
+    w = params.smooth_width
+    vs = params.stiction_vel
+    s = params.force_scale
+    vn = jnp.sum(v_rel * normal, 1)                      # (NC, B)
+    z = (phi - dt * vn) / w
+    phi_s = jax.nn.softplus(z) * w
+    fn0 = s * Kc * phi_s * phi_s
+    eps = 1e-3
+    xx = 1.0 - dc * vn
+    rt = jnp.sqrt(xx * xx + eps * eps)
+    hc = 0.5 * (xx + rt)
+    fn = fn0 * hc
+    vt = v_rel - vn[:, None] * normal
+    sigma = jnp.sqrt(jnp.sum(vt * vt, 1) + vs * vs)
+    mu_over = muc * fn / sigma
+    return fn[:, None] * normal - mu_over[:, None] * vt
+
+
 def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params):
     """forces.contact_forces_implicit with trailing batch: returns
     f (NC,3,B) and D = df/dv_rel (NC,3,3,B)."""
@@ -564,6 +612,24 @@ def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params):
     return f, D
 
 
+def _contact_primal_T(model, contact: ContactModel, kinT):
+    """Sphere centers -> narrowphase -> contact Jacobians, lane-major.
+
+    Returns (phi, normal, point, body_a, body_b, K, d, mu, Jc) — shared
+    between the step (below) and the derivative path (lanejac.py)."""
+    anc_np = ancestor_dof_mask(model)
+    R, p = kinT[0], kinT[1]
+    off = np.asarray(contact.sph_offset)                 # (ns, 3)
+    centers = jnp.stack([
+        p[bi] + sum(R[bi, :, j] * float(off[ci, j]) for j in range(3))
+        for ci, bi in enumerate(contact.sph_body)
+    ])                                                   # (ns, 3, B)
+    phi, normal, point, body_a, body_b, K, d, mu = _narrowphase_T(
+        contact, centers)
+    Jc = _contact_jacobians_T(model, kinT, anc_np, body_a, body_b, point)
+    return phi, normal, point, body_a, body_b, K, d, mu, Jc
+
+
 # ---------------------------------------------------------------------------
 # the step
 # ---------------------------------------------------------------------------
@@ -580,7 +646,6 @@ def make_lane_step(
     the lane-major twin of plant.multibody_step."""
     nq, nv = model.nq, model.nv
     B_act = model.actuation_matrix()                     # (nv, nu)
-    anc_np = ancestor_dof_mask(model)
 
     def step_T(x, u):
         q, v = x[:nq], x[nq:]
@@ -593,17 +658,8 @@ def make_lane_step(
         if contact is None or contact.num_contacts == 0:
             v_next = v + dt * solve_spd_T(M, tau)
         else:
-            R, p = kinT[0], kinT[1]
-            off = np.asarray(contact.sph_offset)         # (ns, 3)
-            centers = jnp.stack([
-                p[bi] + sum(R[bi, :, j] * float(off[ci, j])
-                            for j in range(3))
-                for ci, bi in enumerate(contact.sph_body)
-            ])                                           # (ns, 3, B)
-            phi, normal, point, body_a, body_b, K, d, mu = _narrowphase_T(
-                contact, centers)
-            Jc = _contact_jacobians_T(
-                model, kinT, anc_np, body_a, body_b, point)
+            (phi, normal, point, body_a, body_b, K, d, mu,
+             Jc) = _contact_primal_T(model, contact, kinT)
             nc = Jc.shape[0]
             Jf = Jc.reshape(3 * nc, nv, -1)
 

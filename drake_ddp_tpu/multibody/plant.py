@@ -189,6 +189,18 @@ def make_multibody_system(
     # step body inside a Pallas kernel
     lane.contact_iters = contact_iters
     lane.force_params = force_params
+
+    # structured-IFT derivative kernel (multibody/lanejac.py) — only the
+    # implicit contact path has the IFT Jacobian; the explicit
+    # contact_iters == 0 step keeps the jacfwd fallback
+    lane_jac = None
+    has_contact = contact is not None and contact.num_contacts > 0
+    if not has_contact or contact_iters >= 1:
+        from drake_ddp_tpu.multibody.lanejac import make_lane_jac
+
+        lane_jac = make_lane_jac(model, contact, dt,
+                                 contact_iters=contact_iters,
+                                 force_params=force_params)
     return DiscreteSystem(
         step_fn=step,
         params=(model, contact),
@@ -196,4 +208,5 @@ def make_multibody_system(
         m=model.nu,
         dt=dt,
         lane_step_fn=lane,
+        lane_jac_fn=lane_jac,
     )

@@ -1,0 +1,167 @@
+"""Pallas mega-rollout kernel: the WHOLE closed-loop linesearch rollout
+as one VMEM-resident program.
+
+The per-step mega-kernel (ops/megastep.py) already keeps each contact
+step in VMEM, but a linesearch rollout still launches it N-1 times from
+a ``lax.scan``: every step round-trips the state through HBM, re-DMAs
+the replicated model constants, and pays a kernel dispatch.  This kernel
+fuses the scan *inside* the Pallas program: the gain/feedforward tapes
+(u_bar, kappa, K, x_bar) for the full horizon live in VMEM next to the
+state, the time loop is a ``fori_loop`` over the same step body
+(multibody/lanestep.py, hoisted-jaxpr trick as megastep.py), and the
+only HBM traffic is the initial tape load and the trajectory store.
+
+The closed-loop policy matches solver/batched._chunk_rollout_lanes and
+the reference linesearch rollout (reference ilqr.py:312-316):
+
+    u_t = u_bar_t - eps * kappa_t - K_t (x_t - x_bar_t)
+
+VMEM budget per tile (flagship: n=37, m=12, N=50, block_b=64):
+K tape (49,12,37,64) f32 ~= 5.6 MB, other tapes ~1 MB, step working set
+~3 MB — inside the ~16 MB/core budget; shrink block_b for bigger scenes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from drake_ddp_tpu.contact.forces import ContactForceParams
+from drake_ddp_tpu.multibody.lanestep import make_lane_step
+
+
+def make_pallas_rollout(
+    model,
+    contact,
+    dt: float,
+    num_steps: int,
+    contact_iters: int = 2,
+    force_params: ContactForceParams = ContactForceParams(),
+    block_b: int = 64,
+    interpret: bool = False,
+) -> Callable:
+    """Build the fused rollout:
+
+        (x0 (n, B), eps (B,), u_bar (N-1, m, B), kappa (N-1, m, B),
+         K (N-1, m, n, B), x_bar (N-1, n, B)) -> (xs (N-1, n, B),
+                                                  us (N-1, m, B))
+
+    ``xs[t]`` is the state AFTER step t (x0 is not repeated).  B must be
+    a multiple of ``block_b``.
+    """
+    n = model.nq + model.nv
+    m = model.nu
+    T = num_steps - 1
+    step_T = make_lane_step(model, contact, dt,
+                            contact_iters=contact_iters,
+                            force_params=force_params)
+    m_in = max(m, 1)
+
+    # hoist the step jaxpr's constvars into explicit replicated inputs
+    # (Pallas kernels may not capture array constants — see megastep.py)
+    x_spec = jax.ShapeDtypeStruct((n, block_b), jnp.float32)
+    u_spec = jax.ShapeDtypeStruct((m_in, block_b), jnp.float32)
+    cjaxpr = jax.make_jaxpr(
+        lambda xx, uu: step_T(xx, uu if m else uu[:0]))(x_spec, u_spec)
+    consts = cjaxpr.consts
+
+    def closed_step(xx, uu, cs):
+        (out,) = jax.core.eval_jaxpr(cjaxpr.jaxpr, cs, xx, uu)
+        return out
+
+    const_shapes = [c.shape for c in consts]
+    consts2d = [jnp.asarray(c).reshape(1, -1) if c.ndim < 2 else
+                jnp.asarray(c) for c in consts]
+
+    def kernel(x0_ref, eps_ref, ub_ref, kap_ref, K_ref, xb_ref,
+               *refs):
+        const_refs = refs[:-2]
+        xs_ref, us_ref = refs[-2:]
+        cs = [r[:].reshape(s) for r, s in zip(const_refs, const_shapes)]
+        eps = eps_ref[0]                                  # (block_b,)
+
+        def body(t, x):
+            ub = ub_ref[t]                                # (m_in, blk)
+            kap = kap_ref[t]
+            xb = xb_ref[t]                                # (n, blk)
+            dx = x - xb
+            Kt = K_ref[t]                                 # (m_in, n, blk)
+            Kdx = jnp.sum(Kt * dx[None], axis=1)          # (m_in, blk)
+            u = ub - eps[None] * kap - Kdx
+            # the traced jaxpr takes the (m_in, blk) input and slices to
+            # zero width internally when m == 0
+            x_next = closed_step(x, u, cs)
+            xs_ref[t] = x_next
+            us_ref[t] = u
+            return x_next
+
+        jax.lax.fori_loop(0, T, body, x0_ref[:])
+
+    @jax.jit
+    def rollout(x0, eps, u_bar, kappa, K, x_bar):
+        B0 = x0.shape[-1]
+        pad = (-B0) % block_b
+        if pad:
+            padz = lambda a: jnp.concatenate(
+                [a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)], axis=-1)
+            x0, eps, u_bar, kappa, K, x_bar = map(
+                padz, (x0, eps, u_bar, kappa, K, x_bar))
+        B = x0.shape[-1]
+        if not m:  # zero-width blocks are not representable
+            z = jnp.zeros((T, 1, B), x0.dtype)
+            u_bar, kappa = z, z
+            K = jnp.zeros((T, 1, n, B), x0.dtype)
+        grid = (B // block_b,)
+        rep = [pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd,
+                            memory_space=pltpu.VMEM) for c in consts2d]
+        tile = lambda shape: pl.BlockSpec(
+            shape, lambda i: (0,) * (len(shape) - 1) + (i,),
+            memory_space=pltpu.VMEM)
+        xs, us = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                tile((n, block_b)),
+                tile((1, block_b)),
+                tile((T, m_in, block_b)),
+                tile((T, m_in, block_b)),
+                tile((T, m_in, n, block_b)),
+                tile((T, n, block_b)),
+            ] + rep,
+            out_specs=(tile((T, n, block_b)), tile((T, m_in, block_b))),
+            out_shape=(
+                jax.ShapeDtypeStruct((T, n, B), x0.dtype),
+                jax.ShapeDtypeStruct((T, m_in, B), x0.dtype),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(x0, eps.reshape(1, B), u_bar, kappa, K, x_bar, *consts2d)
+        return xs[..., :B0], us[:, :m, :B0]
+
+    return rollout
+
+
+def pallas_rollout_for_system(system, num_steps: int, block_b: int = 64,
+                              interpret: bool = False):
+    """Build the fused rollout from a multibody DiscreteSystem (None for
+    systems without one)."""
+    try:
+        model, contact = system.params
+    except (TypeError, ValueError):
+        return None
+    if not hasattr(model, "nq"):
+        return None
+    lane = system.lane_step_fn
+    if lane is None:
+        return None
+    return make_pallas_rollout(
+        model, contact, system.dt, num_steps,
+        contact_iters=getattr(lane, "contact_iters", 2),
+        force_params=getattr(lane, "force_params", ContactForceParams()),
+        block_b=block_b, interpret=interpret)

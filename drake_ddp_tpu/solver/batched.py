@@ -81,6 +81,26 @@ def _lane_step_for(system: DiscreteSystem, rollout_kernel: str,
     return step
 
 
+def _fused_rollout_for(system: DiscreteSystem, rollout_kernel: str,
+                       num_steps: int, block_b: int = 64):
+    """The fused whole-horizon Pallas rollout (ops/megaroll.py), when
+    available — one kernel per linesearch chunk instead of N-1 per-step
+    launches.  None = use the per-step scan path."""
+    if rollout_kernel not in ("auto", "fused"):
+        return None
+    if rollout_kernel == "auto" and jax.default_backend() not in (
+            "tpu", "axon"):
+        return None  # pallas compiles for TPU only; CPU tests use lane
+    try:
+        from drake_ddp_tpu.ops.megaroll import pallas_rollout_for_system
+
+        return pallas_rollout_for_system(system, num_steps, block_b=block_b)
+    except Exception:
+        if rollout_kernel == "fused":
+            raise
+        return None
+
+
 def _to_lane(a):
     """(B, ...) -> (..., B)."""
     return jnp.moveaxis(a, 0, -1)
@@ -92,8 +112,9 @@ def _tile_c(a, C):
 
 
 def _chunk_rollout_lanes(step_T, prob, state, eps_cb,
-                         cost_ceiling=float("inf")):
-    """Closed-loop rollouts for eps_cb (C, B) candidates in one scan.
+                         cost_ceiling=float("inf"), fused=None):
+    """Closed-loop rollouts for eps_cb (C, B) candidates in one scan (or
+    one fused Pallas kernel, see ops/megaroll.py).
 
     prob/state leaves carry a leading batch axis B.  Returns
     x (C, B, N, n), u (C, B, N-1, m), L (C, B), steps (C, B, N).
@@ -113,17 +134,22 @@ def _chunk_rollout_lanes(step_T, prob, state, eps_cb,
 
     x0 = _tile_c(_to_lane(prob.x0), C)                # (n, CB)
 
-    def body(x, inputs):
-        ub_t, kap_t, K_t, bx_t = inputs
-        dx = x - _tile_c(bx_t, C)                     # (n, CB)
-        Kdx = jnp.sum(_tile_c(K_t, C) * dx[None], axis=1)   # (m, CB)
-        u = (_tile_c(ub_t, C)
-             - eps_flat[None] * _tile_c(kap_t, C)
-             - Kdx)
-        x_next = step_T(x, u)
-        return x_next, (x_next, u)
+    if fused is not None:
+        xs, us = fused(x0, eps_flat, _tile_c(u_bar_T, C),
+                       _tile_c(kappa_T, C), _tile_c(K_T, C),
+                       _tile_c(xb_T, C))
+    else:
+        def body(x, inputs):
+            ub_t, kap_t, K_t, bx_t = inputs
+            dx = x - _tile_c(bx_t, C)                 # (n, CB)
+            Kdx = jnp.sum(_tile_c(K_t, C) * dx[None], axis=1)  # (m, CB)
+            u = (_tile_c(ub_t, C)
+                 - eps_flat[None] * _tile_c(kap_t, C)
+                 - Kdx)
+            x_next = step_T(x, u)
+            return x_next, (x_next, u)
 
-    _, (xs, us) = jax.lax.scan(body, x0, (u_bar_T, kappa_T, K_T, xb_T))
+        _, (xs, us) = jax.lax.scan(body, x0, (u_bar_T, kappa_T, K_T, xb_T))
     x_full = jnp.concatenate([x0[None], xs], axis=0)  # (N, n, CB)
 
     # per-step costs (mirrors ilqr._cost_steps, lane layout)
@@ -149,7 +175,7 @@ def _chunk_rollout_lanes(step_T, prob, state, eps_cb,
             jnp.moveaxis(steps.reshape(N, C, B), 0, -1))   # (C, B, N)
 
 
-def _linesearch_batched(step_T, cfg, prob, state):
+def _linesearch_batched(step_T, cfg, prob, state, fused=None):
     """Batched mirror of ilqr._linesearch: identical accepted-eps
     semantics; lanes that have accepted freeze their carry (exactly the
     vmap-of-while_loop behavior)."""
@@ -167,7 +193,7 @@ def _linesearch_batched(step_T, cfg, prob, state):
     def chunk(eps_start):
         eps_cb = eps_start[None, :] * powers[:, None]     # (C, B)
         x, u, L, steps = _chunk_rollout_lanes(step_T, prob, state, eps_cb,
-                                              cfg.cost_ceiling)
+                                              cfg.cost_ceiling, fused=fused)
         expected = -eps_cb * (1.0 - eps_cb / 2.0) * dV_sum[None]
         diff = jnp.sum(steps_bar[None] - steps, axis=2)   # (C, B)
         improvement = jnp.where(
@@ -229,22 +255,38 @@ def solve_ilqr_batched(
     cfg: ILQRConfig,
     prob: ILQRProblem,
     rollout_kernel: str = "auto",
+    deriv_kernel: str = "auto",
 ) -> ILQRSolution:
     """Batched mirror of ilqr.solve_ilqr: every ``prob`` leaf carries a
     leading batch axis B; the returned ILQRSolution leaves do too.
 
     ``rollout_kernel``: 'auto' (Pallas kernel when the system provides a
     lane step, else lane-major XLA), 'pallas', or 'lane'.
+    ``deriv_kernel``: 'auto'/'lane' (structured-IFT lane-major Jacobian
+    kernel when the system provides one, see multibody/lanejac.py) or
+    'xla' (vmapped jax.jacfwd through the per-scenario step).
     """
     cfg.derivs.validate()
     step = system.bound_step()
-    step_T = _lane_step_for(system, rollout_kernel)
     N = cfg.num_steps
+    fused = _fused_rollout_for(system, rollout_kernel, N)
+    # when the fused whole-horizon kernel drives the rollout the per-step
+    # path is dead code — skip its (expensive) Pallas build
+    step_T = _lane_step_for(system, "lane" if fused is not None
+                            else rollout_kernel)
     B, n = prob.x0.shape
     m = prob.u_init.shape[-1]
     dtype = prob.x0.dtype
 
-    derivs_fn = jax.vmap(partial(kp.compute_derivatives, step, cfg.derivs))
+    jac_T = system.lane_jac_fn if deriv_kernel in ("auto", "lane") else None
+    if deriv_kernel == "lane" and jac_T is None:
+        raise ValueError("system provides no lane_jac_fn")
+    if jac_T is not None:
+        derivs_fn = partial(kp.compute_derivatives_batched, jac_T,
+                            cfg.derivs)
+    else:
+        derivs_fn = jax.vmap(partial(kp.compute_derivatives, step,
+                                     cfg.derivs))
     if cfg.parallel_backward:
         from drake_ddp_tpu.solver.parscan import parallel_backward_pass
 
@@ -260,7 +302,7 @@ def solve_ilqr_batched(
 
     def forward_and_backward(state):
         eps, x, u, L_new, imp, ls_iters, failed = _linesearch_batched(
-            step_T, cfg, prob, state)
+            step_T, cfg, prob, state, fused=fused)
 
         selb = lambda flag, a, b: jnp.where(
             flag.reshape((B,) + (1,) * (a.ndim - 1)), a, b)

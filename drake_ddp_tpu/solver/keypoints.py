@@ -292,6 +292,82 @@ def _sparse_jacobians(
     return fx, fu
 
 
+def compute_derivatives_batched(
+    jac_T: Callable,
+    cfg: DerivsInterpolation,
+    x: jax.Array,
+    u: jax.Array,
+):
+    """Batched derivative computation through a lane-major Jacobian kernel.
+
+    The natively-batched solver's twin of :func:`compute_derivatives`:
+    instead of vmapping ``jax.jacfwd`` over scenarios, every (scenario,
+    keypoint) work item becomes one *lane* of a single call to ``jac_T``
+    (a structured-IFT kernel, see multibody/lanejac.py) — the layout that
+    TPU vector units tile efficiently.
+
+    Args:
+        jac_T: lane-major Jacobian kernel
+            (x (n, L), u (m, L)) -> (fx (n, n, L), fu (n, m, L)).
+        cfg: interpolation config (validated).
+        x: (B, N, n) trajectories.
+        u: (B, N-1, m) control tapes.
+    Returns:
+        fx (B, N-1, n, n), fu (B, N-1, n, m), percent (B,).
+    """
+    B, N, n = x.shape
+    m = u.shape[-1]
+    T = N - 1
+    dtype = x.dtype
+
+    def at_indices(x_k, u_k):
+        """Jacobians at gathered keypoints: x_k (B, K, n) -> (B, K, n, n)."""
+        K = x_k.shape[1]
+        fx_L, fu_L = jac_T(x_k.reshape(B * K, n).T, u_k.reshape(B * K, m).T)
+        fx_k = jnp.moveaxis(fx_L.reshape(n, n, B, K), (2, 3), (0, 1))
+        fu_k = jnp.moveaxis(fu_L.reshape(n, m, B, K), (2, 3), (0, 1))
+        return fx_k, fu_k
+
+    def dense():
+        return at_indices(x[:, :-1], u)
+
+    if is_baseline(cfg):
+        fx, fu = dense()
+        return fx, fu, jnp.full((B,), 100.0, dtype)
+
+    interp = jax.vmap(interpolate_stack)
+
+    if cfg.keypoint_method == SET_INTERVAL:
+        mask_np = set_interval_mask(N, cfg.minN)
+        idx = np.nonzero(mask_np)[0]
+        fx_k, fu_k = at_indices(x[:, idx], u[:, idx])
+        fx = jnp.zeros((B, T, n, n), dtype).at[:, idx].set(fx_k)
+        fu = jnp.zeros((B, T, n, m), dtype).at[:, idx].set(fu_k)
+        masks = jnp.broadcast_to(jnp.asarray(mask_np), (B, T))
+        pct = jnp.full((B,), 100.0 * len(idx) / T, dtype)
+    elif cfg.keypoint_method == ADAPTIVE_JERK:
+        masks = jax.vmap(lambda xt: adaptive_jerk_mask(cfg, xt, N, n))(x)
+        if cfg.max_keypoints is None:
+            fx, fu = dense()
+        else:
+            budget = min(int(cfg.max_keypoints), T)
+            order = jax.vmap(
+                lambda mk: jnp.argsort(~mk, stable=True)[:budget])(masks)
+            take = lambda a, o: jnp.take_along_axis(
+                a, o.reshape(B, budget, *(1,) * (a.ndim - 2)), axis=1)
+            fx_k, fu_k = at_indices(take(x[:, :-1], order), take(u, order))
+            scat = jax.vmap(lambda z, o, fk: z.at[o].set(fk))
+            fx = scat(jnp.zeros((B, T, n, n), dtype), order, fx_k)
+            fu = scat(jnp.zeros((B, T, n, m), dtype), order, fu_k)
+        pct = (100.0 * jnp.sum(masks, axis=1) / T).astype(dtype)
+    else:  # ITERATIVE_ERROR — dense stack, then replay the bisection
+        fx, fu = dense()
+        masks = jax.vmap(lambda f: iterative_error_mask(cfg, f, N))(fx)
+        pct = (100.0 * jnp.sum(masks, axis=1) / T).astype(dtype)
+
+    return interp(masks, fx), interp(masks, fu), pct
+
+
 def compute_derivatives(
     step: Callable,
     cfg: DerivsInterpolation,

@@ -1,0 +1,136 @@
+"""Fused whole-horizon Pallas rollout (ops/megaroll.py) equivalence vs
+the per-step lane scan it replaces — interpret mode on CPU;
+compiled-mode parity is exercised on TPU by bench.py.
+
+The closed-loop policy u_t = u_bar_t - eps kappa_t - K_t (x_t - x_bar_t)
+matches the reference linesearch rollout (reference ilqr.py:312-316)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drake_ddp_tpu.ops.megaroll import make_pallas_rollout
+
+
+def _scan_reference(step_T, x0, eps, u_bar, kappa, K, x_bar):
+    """The per-step scan path of solver/batched._chunk_rollout_lanes."""
+
+    def body(x, inputs):
+        ub_t, kap_t, K_t, xb_t = inputs
+        dx = x - xb_t
+        Kdx = jnp.sum(K_t * dx[None], axis=1)
+        u = ub_t - eps[None] * kap_t - Kdx
+        x_next = step_T(x, u)
+        return x_next, (x_next, u)
+
+    _, (xs, us) = jax.lax.scan(body, x0, (u_bar, kappa, K, x_bar))
+    return xs, us
+
+
+def _tapes(rng, T, n, m, B, x0, u0, scale=0.1):
+    u_bar = jnp.asarray(
+        np.tile(u0, (T, 1, 1)).transpose(0, 2, 1)
+        + scale * rng.standard_normal((T, m, B)), jnp.float32)
+    kappa = jnp.asarray(
+        scale * rng.standard_normal((T, m, B)), jnp.float32)
+    K = jnp.asarray(
+        0.1 * scale * rng.standard_normal((T, m, n, B)), jnp.float32)
+    x_bar = jnp.asarray(
+        np.tile(np.asarray(x0), (T, 1, 1)).transpose(0, 2, 1)
+        + 0.01 * rng.standard_normal((T, n, B)), jnp.float32)
+    eps = jnp.asarray(rng.uniform(0.2, 1.0, (B,)), jnp.float32)
+    return eps, u_bar, kappa, K, x_bar
+
+
+def test_fused_rollout_matches_scan_cheetah():
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+
+    cfg = mc.Config()
+    system, _ = mc.build_system(cfg)
+    x0, _ = mc.initial_and_target(cfg)
+    n, m = system.n, system.m
+    N, B = 6, 8
+    T = N - 1
+    rng = np.random.default_rng(0)
+    x0b = jnp.asarray(
+        np.tile(np.asarray(x0, np.float32), (B, 1)).T
+        + 0.01 * rng.standard_normal((n, B)).astype(np.float32))
+    eps, u_bar, kappa, K, x_bar = _tapes(
+        rng, T, n, m, B, x0, np.asarray(mc.U_STAND, np.float32))
+
+    fused = make_pallas_rollout(
+        system.params[0], system.params[1], system.dt, N,
+        contact_iters=system.lane_step_fn.contact_iters,
+        force_params=system.lane_step_fn.force_params,
+        block_b=8, interpret=True)
+    xs, us = fused(x0b, eps, u_bar, kappa, K, x_bar)
+    xs_ref, us_ref = _scan_reference(
+        system.lane_step_fn, x0b, eps, u_bar, kappa, K, x_bar)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(us_ref),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_fused_rollout_pads_ragged_batch():
+    """B not a multiple of block_b exercises the pad/slice path."""
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+
+    cfg = mc.Config()
+    system, _ = mc.build_system(cfg)
+    x0, _ = mc.initial_and_target(cfg)
+    n, m = system.n, system.m
+    N, B = 4, 5
+    T = N - 1
+    rng = np.random.default_rng(1)
+    x0b = jnp.asarray(np.tile(np.asarray(x0, np.float32), (B, 1)).T)
+    eps, u_bar, kappa, K, x_bar = _tapes(
+        rng, T, n, m, B, x0, np.asarray(mc.U_STAND, np.float32))
+
+    fused = make_pallas_rollout(
+        system.params[0], system.params[1], system.dt, N,
+        contact_iters=system.lane_step_fn.contact_iters,
+        force_params=system.lane_step_fn.force_params,
+        block_b=8, interpret=True)
+    xs, us = fused(x0b, eps, u_bar, kappa, K, x_bar)
+    assert xs.shape == (T, n, B) and us.shape == (T, m, B)
+    xs_ref, us_ref = _scan_reference(
+        system.lane_step_fn, x0b, eps, u_bar, kappa, K, x_bar)
+    np.testing.assert_allclose(np.asarray(us), np.asarray(us_ref),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               rtol=1e-3, atol=2e-3)
+
+
+def test_fused_rollout_passive_system():
+    """m == 0 (passive ball): the zero-width control path."""
+    from tests.test_contact import ball_on_ground
+
+    system, radius, _ = ball_on_ground()
+    n = system.n
+    N, B = 5, 8
+    T = N - 1
+    rng = np.random.default_rng(2)
+    xb = np.zeros((n, B), np.float32)
+    xb[0] = 1.0
+    xb[6] = radius - 0.002
+    xb[7:] = 0.3 * rng.standard_normal((6, B)).astype(np.float32)
+    x0b = jnp.asarray(xb)
+    eps = jnp.asarray(rng.uniform(0.2, 1.0, (B,)), jnp.float32)
+    z = jnp.zeros((T, 0, B), jnp.float32)
+    K = jnp.zeros((T, 0, n, B), jnp.float32)
+    x_bar = jnp.asarray(
+        np.tile(xb, (T, 1, 1)) + 0.01 * rng.standard_normal((T, n, B)),
+        jnp.float32)
+
+    fused = make_pallas_rollout(
+        system.params[0], system.params[1], system.dt, N,
+        contact_iters=system.lane_step_fn.contact_iters,
+        force_params=system.lane_step_fn.force_params,
+        block_b=8, interpret=True)
+    xs, us = fused(x0b, eps, z, z, K, x_bar)
+    assert us.shape == (T, 0, B)
+    xs_ref, _ = _scan_reference(
+        system.lane_step_fn, x0b, eps, z, z, K, x_bar)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xs_ref),
+                               rtol=1e-3, atol=2e-3)
