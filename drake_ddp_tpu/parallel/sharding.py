@@ -23,12 +23,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from drake_ddp_tpu.dynamics.base import DiscreteSystem
-from drake_ddp_tpu.mpc.driver import MPCConfig, MPCResult, mpc_solve
+from drake_ddp_tpu.mpc.driver import MPCConfig, MPCResult, mpc_solve_batched
+from drake_ddp_tpu.solver.batched import solve_ilqr_batched
 from drake_ddp_tpu.solver.ilqr import (
     ILQRConfig,
     ILQRProblem,
     ILQRSolution,
-    solve_ilqr,
 )
 
 AXIS = "scenario"
@@ -84,7 +84,9 @@ def batched_solve(
         raise ValueError(f"batch {batch} must divide mesh size {nd}")
 
     def local_solve(p: ILQRProblem):
-        sol = jax.vmap(lambda q: solve_ilqr(system, cfg, q))(p)
+        # each device runs the natively-batched solver (lane-major /
+        # Pallas rollout, structured-IFT derivatives) over its own shard
+        sol = solve_ilqr_batched(system, cfg, p)
         stats = BatchStats(
             mean_cost=jax.lax.psum(jnp.sum(sol.cost), AXIS) / batch,
             num_diverged=jax.lax.psum(
@@ -98,10 +100,6 @@ def batched_solve(
         mesh=mesh,
         in_specs=(P(AXIS),),
         out_specs=(P(AXIS), P()),
-        # solver-internal while_loops carry fresh scalar constants, which
-        # shard_map's varying-axis checker rejects; correctness is covered
-        # by the vs-single-solve tests.
-        check_vma=False,
     )
     fn = jax.jit(shard, donate_argnums=(0,) if donate else ())
     return fn(shard_problems(mesh, probs))
@@ -130,9 +128,9 @@ def batched_mpc(
         raise ValueError(f"batch {batch} must divide mesh size {nd}")
 
     def local_mpc(p: ILQRProblem) -> tuple:
-        res = jax.vmap(
-            lambda q: mpc_solve(system, cfg, q, mpc, x_nom_shift)
-        )(p)
+        # per-device natively-batched MPC chain (solver/batched.py) —
+        # the same fast path bench.py measures single-chip
+        res = mpc_solve_batched(system, cfg, p, mpc, x_nom_shift)
         stats = BatchStats(
             mean_cost=jax.lax.psum(jnp.sum(res.costs[:, -1]), AXIS) / batch,
             num_diverged=jax.lax.psum(
@@ -146,9 +144,5 @@ def batched_mpc(
         mesh=mesh,
         in_specs=(P(AXIS),),
         out_specs=(P(AXIS), P()),
-        # solver-internal while_loops carry fresh scalar constants, which
-        # shard_map's varying-axis checker rejects; correctness is covered
-        # by the vs-single-solve tests.
-        check_vma=False,
     )
     return jax.jit(shard)(shard_problems(mesh, probs))

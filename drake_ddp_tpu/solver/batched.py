@@ -101,6 +101,26 @@ def _fused_rollout_for(system: DiscreteSystem, rollout_kernel: str,
         return None
 
 
+def _vary_like(tree, ref):
+    """Promote fresh-constant pytree leaves to the varying manual axes of
+    ``ref`` (a data-derived array).
+
+    Under ``shard_map(..., check_vma=True)`` a while_loop carry must have
+    the same varying-axis type at init and after the body; the solver's
+    zero/inf inits are constants (unvarying) while the body derives new
+    values from the (varying) problem data.  Adding a varying zero scalar
+    promotes them; outside shard_map (or on unvarying data) this is an
+    adds-zero no-op that XLA folds away."""
+    vzero = jnp.sum(ref[:0].reshape(-1).astype(jnp.float32))
+
+    def vary(a):
+        if a.dtype == jnp.bool_:
+            return a | (vzero != 0.0)
+        return a + vzero.astype(a.dtype)
+
+    return jax.tree_util.tree_map(vary, tree)
+
+
 def _to_lane(a):
     """(B, ...) -> (..., B)."""
     return jnp.moveaxis(a, 0, -1)
@@ -234,7 +254,7 @@ def _linesearch_batched(step_T, cfg, prob, state, fused=None):
             sel(imp_c, imp),
         )
 
-    init = (
+    init = _vary_like((
         jnp.ones((B,), dtype),
         jnp.asarray(0, jnp.int32),
         jnp.zeros((B,), bool),
@@ -244,7 +264,7 @@ def _linesearch_batched(step_T, cfg, prob, state, fused=None):
         state.u_bar,
         jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((B,), dtype),
-    )
+    ), state.x_bar)
     (_, k, found, n_iters, eps, x, u, L, imp) = jax.lax.while_loop(
         cond, body, init)
     return eps, x, u, L, imp, n_iters, ~found
@@ -375,7 +395,7 @@ def solve_ilqr_batched(
         ls_iters=jnp.zeros((B, cfg.max_iters), jnp.int32),
         percent_derivs=jnp.zeros((B, cfg.max_iters), dtype),
     )
-    init = _LoopState(
+    init = _vary_like(_LoopState(
         x_bar=jnp.zeros((B, N, n), dtype),
         u_bar=prob.u_init.astype(dtype),
         fx=jnp.zeros((B, N - 1, n, n), dtype),
@@ -390,7 +410,7 @@ def solve_ilqr_batched(
         retry=jnp.zeros((B,), bool),
         diverged=jnp.zeros((B,), bool),
         stats=stats0,
-    )
+    ), prob.x0)
 
     final = jax.lax.while_loop(cond, body, init)
     return ILQRSolution(
