@@ -10,6 +10,7 @@ problem sizes (n <= 37); the long-horizon analog of sequence parallelism
 is the associative-scan Riccati pass (solver/parscan.py when present).
 """
 
+from drake_ddp_tpu.parallel import multihost
 from drake_ddp_tpu.parallel.sharding import (
     batched_mpc,
     batched_solve,
@@ -20,6 +21,7 @@ from drake_ddp_tpu.parallel.sharding import (
 __all__ = [
     "batched_mpc",
     "batched_solve",
+    "multihost",
     "scenario_mesh",
     "shard_problems",
 ]

@@ -44,8 +44,9 @@ def scenario_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def shard_problems(mesh: Mesh, probs: ILQRProblem) -> ILQRProblem:
     """Place a batched problem pytree (leading axis = scenario) on the
-    mesh, sharded over scenarios."""
-    sharding = NamedSharding(mesh, P(AXIS))
+    mesh, sharded over scenarios (over ALL mesh axes for >=2-D meshes,
+    e.g. the multihost (host, device) mesh)."""
+    sharding = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), probs
     )
@@ -78,6 +79,7 @@ def batched_solve(
         and replicated BatchStats.
     """
     mesh = mesh or scenario_mesh()
+    axes = tuple(mesh.axis_names)
     nd = mesh.devices.size
     batch = jax.tree_util.tree_leaves(probs)[0].shape[0]
     if batch % nd:
@@ -88,18 +90,18 @@ def batched_solve(
         # Pallas rollout, structured-IFT derivatives) over its own shard
         sol = solve_ilqr_batched(system, cfg, p)
         stats = BatchStats(
-            mean_cost=jax.lax.psum(jnp.sum(sol.cost), AXIS) / batch,
+            mean_cost=jax.lax.psum(jnp.sum(sol.cost), axes) / batch,
             num_diverged=jax.lax.psum(
-                jnp.sum(sol.diverged.astype(jnp.int32)), AXIS),
-            total_iterations=jax.lax.psum(jnp.sum(sol.iterations), AXIS),
+                jnp.sum(sol.diverged.astype(jnp.int32)), axes),
+            total_iterations=jax.lax.psum(jnp.sum(sol.iterations), axes),
         )
         return sol, stats
 
     shard = jax.shard_map(
         local_solve,
         mesh=mesh,
-        in_specs=(P(AXIS),),
-        out_specs=(P(AXIS), P()),
+        in_specs=(P(axes),),
+        out_specs=(P(axes), P()),
     )
     fn = jax.jit(shard, donate_argnums=(0,) if donate else ())
     return fn(shard_problems(mesh, probs))
@@ -122,6 +124,7 @@ def batched_mpc(
     mini-cheetah-class MPC runs per second across a pod slice.
     """
     mesh = mesh or scenario_mesh()
+    axes = tuple(mesh.axis_names)
     nd = mesh.devices.size
     batch = jax.tree_util.tree_leaves(probs)[0].shape[0]
     if batch % nd:
@@ -132,17 +135,17 @@ def batched_mpc(
         # the same fast path bench.py measures single-chip
         res = mpc_solve_batched(system, cfg, p, mpc, x_nom_shift)
         stats = BatchStats(
-            mean_cost=jax.lax.psum(jnp.sum(res.costs[:, -1]), AXIS) / batch,
+            mean_cost=jax.lax.psum(jnp.sum(res.costs[:, -1]), axes) / batch,
             num_diverged=jax.lax.psum(
-                jnp.sum(res.diverged.astype(jnp.int32)), AXIS),
-            total_iterations=jax.lax.psum(jnp.sum(res.iterations), AXIS),
+                jnp.sum(res.diverged.astype(jnp.int32)), axes),
+            total_iterations=jax.lax.psum(jnp.sum(res.iterations), axes),
         )
         return res, stats
 
     shard = jax.shard_map(
         local_mpc,
         mesh=mesh,
-        in_specs=(P(AXIS),),
-        out_specs=(P(AXIS), P()),
+        in_specs=(P(axes),),
+        out_specs=(P(axes), P()),
     )
     return jax.jit(shard)(shard_problems(mesh, probs))
