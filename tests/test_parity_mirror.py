@@ -1,0 +1,152 @@
+"""Physics parity against the independent f64 NumPy mirror
+(tests/np_physics_mirror.py).
+
+BASELINE.md's correctness criterion is per-solve cost within 1% of the
+Drake reference.  pydrake cannot run here (no installs, zero egress), so
+these tests hold the JAX implementation to an *independently derived*
+float64 implementation of the same specification instead — Lagrangian /
+Newton-Euler dynamics, the documented contact force law, FD Newton
+Jacobians, np.linalg solves — with nothing shared but the spec:
+
+1. the multibody contact STEP matches over a 60-step tumbling-brick
+   trajectory (quaternion base, gyroscopic torque, friction,
+   dissipation) to ~1e-6;
+2. the full wall-bounce iLQR SOLVE (reference task
+   cart_pole_with_wall.py) lands within 1% cost of the mirror's
+   eager-NumPy iLQR run with FD derivatives — the BASELINE criterion
+   transposed onto the runnable evidence this environment permits.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests.np_physics_mirror import FreeBodyOnGround, WallCartPole
+from tests.np_spec_mirror import solve_ilqr_np
+
+
+def _brick_system_f64(dt=1e-2, iters=8):
+    """f64 build of a free asymmetric-inertia body with a collision
+    sphere on compliant ground (mirror of FreeBodyOnGround)."""
+    from drake_ddp_tpu.contact.forces import ContactForceParams
+    from drake_ddp_tpu.contact.geometry import (
+        HALFSPACE, SPHERE, CollisionGeometry, ContactProps, GeometrySet,
+        build_contact_model)
+    from drake_ddp_tpu.multibody.model import FREE, ModelBuilder
+    from drake_ddp_tpu.multibody.plant import make_multibody_system
+
+    mass, radius = 0.6, 0.1
+    inertia = np.diag([2e-3, 5e-3, 8e-3])
+    mb = ModelBuilder()
+    mb.add_body("brick", -1, FREE, mass=mass, inertia=inertia)
+    model = mb.finalize(jnp.float64)
+    props = ContactProps(modulus=5e6, dissipation=5.0,
+                         mu_static=0.5, mu_dynamic=0.5)
+    gs = GeometrySet()
+    gs.add(CollisionGeometry(0, SPHERE, np.zeros(3), np.eye(3),
+                             np.array([radius]), props))
+    gs.add(CollisionGeometry(-1, HALFSPACE, np.zeros(3), np.eye(3),
+                             np.zeros(1), props))
+    cm = build_contact_model(gs, dtype=jnp.float64)
+    system = make_multibody_system(
+        model, cm, dt, contact_iters=iters,
+        force_params=ContactForceParams(smooth_width=1e-3))
+    mirror = FreeBodyOnGround(mass, inertia, radius, modulus=5e6,
+                              dissipation=5.0, mu=0.5, ground_depth=0.5,
+                              dt=dt, contact_iters=iters,
+                              smooth_width=1e-3)
+    return system, mirror
+
+
+def test_brick_step_matches_independent_mirror():
+    """60 steps of a spinning brick dropped on the ground: quaternion
+    kinematics, Euler's equations, implicit contact with friction — the
+    JAX engine vs the from-scratch NumPy mirror, both f64."""
+    system, mirror = _brick_system_f64()
+    x = np.zeros(13)
+    x[:4] = [1.0, 0, 0, 0]
+    x[6] = 0.13                    # 3 cm above touchdown
+    x[7:10] = [6.0, -3.0, 2.0]     # tumbling
+    x[10:13] = [0.4, -0.2, 0.0]    # sliding (friction active)
+
+    step = jax.jit(system.bound_step())
+    xj = jnp.asarray(x, jnp.float64)
+    xn = np.array(x)
+    for t in range(60):
+        xj = step(xj, jnp.zeros(0, jnp.float64))
+        xn = mirror.step(xn)
+    err = np.max(np.abs(np.asarray(xj) - xn))
+    assert err < 1e-6, err
+    # and the physics did something interesting: it fell and settled
+    assert float(xj[6]) < 0.12
+
+
+def test_wall_bounce_solve_cost_within_1pct():
+    """Full iLQR solve on the reference wall task, zero initial guess:
+    JAX f64 solver vs the mirror's eager NumPy iLQR (FD derivatives
+    through the Lagrangian wall-contact step).  BASELINE.md criterion:
+    costs within 1%."""
+    from drake_ddp_tpu.contact.forces import ContactForceParams
+    from drake_ddp_tpu.contact.geometry import (
+        BOX, SPHERE, CollisionGeometry, ContactProps, GeometrySet,
+        build_contact_model)
+    from drake_ddp_tpu.multibody.model import (PRISMATIC, REVOLUTE,
+                                               ModelBuilder)
+    from drake_ddp_tpu.multibody.plant import make_multibody_system
+    from drake_ddp_tpu.solver.ilqr import (ILQRConfig, ILQRProblem,
+                                           solve_ilqr)
+
+    dt, N, iters = 1e-2, 60, 8
+    # f64 rebuild of examples/cart_pole_with_wall.build_system
+    mb = ModelBuilder()
+    cart = mb.add_body("cart", -1, PRISMATIC, axis=(1, 0, 0),
+                       mass=10.0, actuated=True)
+    mb.add_body("pole", cart, REVOLUTE, axis=(0, -1, 0),
+                mass=1.0, com=(0, 0, -0.5))
+    model = mb.finalize(jnp.float64)
+    gs = GeometrySet()
+    gs.add(CollisionGeometry(
+        1, SPHERE, np.array([0.0, 0.0, -0.5]), np.eye(3),
+        np.array([0.05]),
+        ContactProps(modulus=2e6, dissipation=0.0,
+                     mu_static=1.0, mu_dynamic=1.0)))
+    gs.add(CollisionGeometry(
+        -1, BOX, np.array([-0.5, 0.0, 0.0]), np.eye(3),
+        np.array([0.05, 0.5, 1.0]),
+        ContactProps(modulus=np.inf, dissipation=0.0,
+                     mu_static=1.0, mu_dynamic=1.0)))
+    cm = build_contact_model(gs, dtype=jnp.float64)
+    system = make_multibody_system(model, cm, dt, contact_iters=iters,
+                                   force_params=ContactForceParams())
+
+    x0 = np.array([0.0, np.pi + 0.5, 0.0, 0.0])
+    x_nom = np.array([0.0, np.pi, 0.0, 0.0])
+    Q = dt * np.diag([0.1, 1.0, 0.01, 0.01])
+    R = dt * 0.001 * np.eye(1)
+    Qf = np.diag([200.0, 200.0, 10.0, 10.0])
+    max_iters, beta = 12, 0.5
+
+    # --- independent mirror solve (eager f64, FD derivatives) ---------
+    mirror = WallCartPole(dt=dt, contact_iters=iters)
+    _, _, cost_np, hist = solve_ilqr_np(
+        mirror.step, N, x0, x_nom, Q, R, Qf,
+        np.zeros((N - 1, 1)), beta=beta, max_iters=max_iters)
+
+    # --- JAX solve, same config (reg=0: reference semantics) ----------
+    cfg = ILQRConfig(num_steps=N, beta=beta, max_iters=max_iters,
+                     reg=0.0)
+    prob = ILQRProblem(
+        x0=jnp.asarray(x0), x_nom=jnp.asarray(x_nom),
+        Q=jnp.asarray(Q), R=jnp.asarray(R), Qf=jnp.asarray(Qf),
+        u_init=jnp.zeros((N - 1, 1), jnp.float64))
+    sol = jax.jit(lambda p: solve_ilqr(system, cfg, p))(prob)
+    cost_jax = float(sol.cost)
+
+    assert not bool(sol.diverged)
+    assert cost_jax == pytest.approx(cost_np, rel=0.01), (cost_jax,
+                                                          cost_np)
+    # both tracked the same iteration path, not just the same endpoint
+    # (+-1: the final improvement sits near delta, so the two f64
+    # implementations may cross the convergence threshold one apart)
+    assert abs(int(sol.iterations) - len(hist)) <= 1
