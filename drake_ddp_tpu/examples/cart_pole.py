@@ -32,6 +32,10 @@ class Config:
     minN: int = 5
     maxN: int = 10
     jerk_threshold: float = 1e-4
+    # static keypoint budget: enables sparse (lazy) Jacobian evaluation
+    # for iterativeError; None = dense parity fallback (adaptiveJerk and
+    # setInterval derive sufficient budgets automatically).
+    max_keypoints: Optional[int] = None
     iterative_error_threshold: float = 5e-5
     verbose: bool = True
 
@@ -48,6 +52,7 @@ def build_solver(cfg: Config):
         interp = DerivsInterpolation(
             cfg.keypoint_method, cfg.minN, cfg.maxN,
             cfg.jerk_threshold, cfg.iterative_error_threshold,
+            max_keypoints=cfg.max_keypoints,
         )
     ilqr = IterativeLinearQuadraticRegulator(
         system, num_steps, beta=cfg.beta,

@@ -57,6 +57,10 @@ class Config:
     minN: int = 1
     maxN: int = 100
     jerk_threshold: float = 0.0007
+    # static keypoint budget: enables sparse (lazy) Jacobian evaluation
+    # for iterativeError; None = dense parity fallback (adaptiveJerk and
+    # setInterval derive sufficient budgets automatically).
+    max_keypoints: Optional[int] = None
     iterative_error_threshold: float = 5e-5
     contact_iters: int = 2
     # Contact tasks are multi-modal (local optima here span costs
@@ -111,6 +115,7 @@ def build_solver(cfg: Config):
         interp = DerivsInterpolation(
             cfg.keypoint_method, cfg.minN, cfg.maxN,
             cfg.jerk_threshold, cfg.iterative_error_threshold,
+            max_keypoints=cfg.max_keypoints,
         )
     ilqr = IterativeLinearQuadraticRegulator(
         system, num_steps, beta=cfg.beta,

@@ -72,6 +72,10 @@ class Config:
     minN: int = 5
     maxN: int = 40
     jerk_threshold: float = 1e-4
+    # static keypoint budget: enables sparse (lazy) Jacobian evaluation
+    # for iterativeError; None = dense parity fallback (adaptiveJerk and
+    # setInterval derive sufficient budgets automatically).
+    max_keypoints: Optional[int] = None
     iterative_error_threshold: float = 1e-2
     verbose: bool = True
     mesh_max_spheres: int = 4
@@ -163,6 +167,7 @@ def build_solver(cfg: Config = Config()):
         interp = DerivsInterpolation(
             cfg.keypoint_method, cfg.minN, cfg.maxN,
             cfg.jerk_threshold, cfg.iterative_error_threshold,
+            max_keypoints=cfg.max_keypoints,
         )
     ilqr = IterativeLinearQuadraticRegulator(
         system, num_steps, beta=cfg.beta, delta=cfg.delta, gamma=cfg.gamma,

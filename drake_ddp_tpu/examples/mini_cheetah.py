@@ -85,6 +85,10 @@ class Config:
     minN: int = 2
     maxN: int = 20
     jerk_threshold: float = 0.3
+    # static keypoint budget: enables sparse (lazy) Jacobian evaluation
+    # for iterativeError; None = dense parity fallback (adaptiveJerk and
+    # setInterval derive sufficient budgets automatically).
+    max_keypoints: Optional[int] = None
     iterative_error_threshold: float = 10.0
     verbose: bool = True
 
@@ -142,6 +146,7 @@ def build_solver(cfg: Config = Config()):
         interp = DerivsInterpolation(
             cfg.keypoint_method, cfg.minN, cfg.maxN,
             cfg.jerk_threshold, cfg.iterative_error_threshold,
+            max_keypoints=cfg.max_keypoints,
         )
     ilqr = IterativeLinearQuadraticRegulator(
         system, num_steps, beta=cfg.beta, delta=cfg.delta, gamma=cfg.gamma,

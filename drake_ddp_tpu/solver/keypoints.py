@@ -15,12 +15,19 @@ Methods (semantics matched to the reference):
 - ``iterativeError``— reference ilqr.py:488-593
 
 ``iterativeError`` in the reference lazily evaluates Jacobians at dyadic
-bisection points.  On TPU a single batched Jacobian over the horizon is
-typically faster than many small lazy evaluations, so this implementation
-computes the full batch once, replays the bisection on the precomputed
-stack to reproduce the reference's keypoint set exactly, and reports the
-same ``percentage_derivs`` statistic.  (The sparse gather path is used for
-``setInterval``/``adaptiveJerk``, whose masks don't require Jacobians.)
+bisection points.  XLA needs static shapes, so the TPU-native analog
+(:func:`_iterative_error_sparse`, used when ``max_keypoints`` is set)
+evaluates the dyadic tree level by level with a static per-level lane
+cap: total evaluated lanes <= max(3, max_keypoints), segments the budget
+cannot check are accepted as-is.  With an ample budget the keypoint set
+equals the reference's exactly; without ``max_keypoints`` the dense
+fallback computes the full stack once and replays the bisection on it
+(parity, no savings).
+
+``adaptiveJerk``'s counter logic guarantees keypoint spacing >= minN, so
+``T // minN + 2`` is a *sufficient* static budget — it is derived
+automatically when ``max_keypoints`` is unset, giving the method its
+compute savings with zero quality loss.
 """
 
 from __future__ import annotations
@@ -159,6 +166,51 @@ def _dyadic_depth(N: int, minN: int) -> int:
     return depth + 1
 
 
+def _adaptive_jerk_budget(cfg: DerivsInterpolation, N: int) -> int:
+    """Sufficient static keypoint budget for any adaptiveJerk mask.
+
+    The scan counter resets on every hit, so consecutive hits are at least
+    ``min(minN, maxN)`` steps apart (``maxN <= 0`` degenerates to a hit at
+    every step); with keypoint 0 and the forced last keypoint the count is
+    bounded by ``(N-3)//spacing + 3``.  Evaluating at this static budget
+    loses nothing vs dense evaluation — excess lanes are never read.
+    """
+    spacing = max(1, min(cfg.minN, cfg.maxN)) if cfg.maxN > 0 else 1
+    return min(N - 1, (N - 3) // spacing + 3)
+
+
+def _dyadic_tree(N: int, minN: int):
+    """Static dyadic bisection tree over [0, N-2].
+
+    Returns a list of levels, each ``(starts, ends, mids, wide)`` numpy
+    arrays of length 2**level.  Which segments are *active* is dynamic
+    (depends on the Jacobian error test), but the candidate index tree is a
+    pure function of (N, minN) — the structure XLA needs to be static.
+    """
+    levels = []
+    starts = np.array([0], np.int32)
+    ends = np.array([N - 2], np.int32)
+    for _ in range(_dyadic_depth(N, minN)):
+        mids = (starts + ends) // 2
+        wide = (ends - starts) > minN
+        levels.append((starts, ends, mids, wide))
+        starts = np.concatenate([starts, mids])
+        ends = np.concatenate([mids, ends])
+    return levels
+
+
+def _level_caps(levels, budget: int) -> list[int]:
+    """Static per-level lane caps: 3 lanes for the root (s, m, e), then at
+    most ``2**level`` per level until the budget is spent."""
+    caps = [3]
+    rem = max(0, budget - 3)
+    for level in levels[1:]:
+        cap = min(len(level[0]), int(np.sum(level[3])), rem)
+        caps.append(cap)
+        rem -= cap
+    return caps
+
+
 def iterative_error_mask(
     cfg: DerivsInterpolation, fx_full: jax.Array, N: int
 ) -> jax.Array:
@@ -292,6 +344,86 @@ def _sparse_jacobians(
     return fx, fu
 
 
+def _iterative_error_sparse(
+    step: Callable, cfg: DerivsInterpolation, x: jax.Array, u: jax.Array,
+    budget: int, chunk: Optional[int] = None,
+):
+    """Budgeted lazy evaluation for iterativeError (reference ilqr.py:488-593).
+
+    The TPU-native analog of the reference's lazy dyadic bisection: the
+    candidate index tree is static (:func:`_dyadic_tree`), so each level
+    evaluates Jacobians only at the mids of active segments — packed to a
+    static per-level lane cap — instead of computing the dense stack.
+    Total evaluated lanes <= max(3, budget); active segments beyond a
+    level's cap are accepted as-is (their span is interpolated).  With an
+    ample budget the visited set equals the reference's exactly.
+    """
+    N, n = x.shape
+    m = u.shape[-1]
+    T = N - 1
+    dtype = x.dtype
+    thr = cfg.iterative_error_threshold
+    levels = _dyadic_tree(N, cfg.minN)
+    caps = _level_caps(levels, max(3, int(budget)))
+
+    jac = jax.jacfwd(step, argnums=(0, 1))
+
+    def eval_at(idx):
+        """Jacobians at gathered indices; idx == T lanes are wasted work
+        whose scatters drop (out of bounds, mode='drop')."""
+        xg = x[jnp.minimum(idx, T - 1)]
+        ug = u[jnp.minimum(idx, T - 1)]
+        if chunk is None or chunk >= idx.shape[0]:
+            return jax.vmap(jac)(xg, ug)
+        return jax.lax.map(lambda xu: jac(*xu), (xg, ug), batch_size=chunk)
+
+    fx_buf = jnp.zeros((T, n, n), dtype)
+    fu_buf = jnp.zeros((T, n, m), dtype)
+    visited = jnp.zeros((T,), bool)
+
+    # Root level: s, m, e are static and always evaluated (the tree is only
+    # entered when the root segment is wide — callers guard the degenerate
+    # case, where the dense fallback reproduces the reference's empty set).
+    s0, e0, m0 = 0, N - 2, (N - 2) // 2
+    idx0 = jnp.asarray(np.array([s0, m0, e0], np.int32))
+    fx_k, fu_k = eval_at(idx0)
+    fx_buf = fx_buf.at[idx0].set(fx_k)
+    fu_buf = fu_buf.at[idx0].set(fu_k)
+    visited = visited.at[idx0].set(True)
+    err0 = jnp.sum((0.5 * (fx_buf[s0] + fx_buf[e0]) - fx_buf[m0]) ** 2) / (2 * n)
+    bad0 = err0 > thr
+    active = jnp.stack([bad0, bad0])
+
+    for (starts, ends, mids, wide), cap in zip(levels[1:], caps[1:]):
+        if cap == 0:
+            break
+        want = active & jnp.asarray(wide)
+        order = jnp.argsort(~want, stable=True)[:cap]
+        checked = want[order]
+        # Invalid lanes scatter out of bounds and drop.
+        idx = jnp.where(checked, jnp.asarray(mids)[order], T)
+        fx_k, fu_k = eval_at(idx)
+        fx_buf = fx_buf.at[idx].set(fx_k, mode="drop")
+        fu_buf = fu_buf.at[idx].set(fu_k, mode="drop")
+        visited = visited.at[idx].set(True, mode="drop")
+        # Endpoints were evaluated at the parent level (active implies the
+        # parent was checked, and child endpoints are the parent's s/m/e).
+        s_l = jnp.asarray(starts)[order]
+        e_l = jnp.asarray(ends)[order]
+        m_l = jnp.asarray(mids)[order]
+        err = jnp.sum(
+            (0.5 * (fx_buf[s_l] + fx_buf[e_l]) - fx_buf[m_l]) ** 2,
+            axis=(-2, -1),
+        ) / (2 * n)
+        bad = jnp.zeros(len(starts), bool).at[order].set(checked & (err > thr))
+        active = jnp.concatenate([bad, bad])
+
+    fx = interpolate_stack(visited, fx_buf)
+    fu = interpolate_stack(visited, fu_buf)
+    percent = 100.0 * jnp.sum(visited) / T
+    return fx, fu, percent.astype(dtype)
+
+
 def compute_derivatives_batched(
     jac_T: Callable,
     cfg: DerivsInterpolation,
@@ -347,25 +479,95 @@ def compute_derivatives_batched(
         pct = jnp.full((B,), 100.0 * len(idx) / T, dtype)
     elif cfg.keypoint_method == ADAPTIVE_JERK:
         masks = jax.vmap(lambda xt: adaptive_jerk_mask(cfg, xt, N, n))(x)
-        if cfg.max_keypoints is None:
-            fx, fu = dense()
-        else:
-            budget = min(int(cfg.max_keypoints), T)
-            order = jax.vmap(
-                lambda mk: jnp.argsort(~mk, stable=True)[:budget])(masks)
-            take = lambda a, o: jnp.take_along_axis(
-                a, o.reshape(B, budget, *(1,) * (a.ndim - 2)), axis=1)
-            fx_k, fu_k = at_indices(take(x[:, :-1], order), take(u, order))
-            scat = jax.vmap(lambda z, o, fk: z.at[o].set(fk))
-            fx = scat(jnp.zeros((B, T, n, n), dtype), order, fx_k)
-            fu = scat(jnp.zeros((B, T, n, m), dtype), order, fu_k)
+        budget = (int(cfg.max_keypoints) if cfg.max_keypoints is not None
+                  else _adaptive_jerk_budget(cfg, N))
+        budget = min(budget, T)
+        order = jax.vmap(
+            lambda mk: jnp.argsort(~mk, stable=True)[:budget])(masks)
+        take = lambda a, o: jnp.take_along_axis(
+            a, o.reshape(B, budget, *(1,) * (a.ndim - 2)), axis=1)
+        fx_k, fu_k = at_indices(take(x[:, :-1], order), take(u, order))
+        scat = jax.vmap(lambda z, o, fk: z.at[o].set(fk))
+        fx = scat(jnp.zeros((B, T, n, n), dtype), order, fx_k)
+        fu = scat(jnp.zeros((B, T, n, m), dtype), order, fu_k)
         pct = (100.0 * jnp.sum(masks, axis=1) / T).astype(dtype)
-    else:  # ITERATIVE_ERROR — dense stack, then replay the bisection
+    else:  # ITERATIVE_ERROR
+        if cfg.max_keypoints is not None and (N - 2) > cfg.minN:
+            return _iterative_error_sparse_batched(
+                at_indices, cfg, x, u, cfg.max_keypoints)
+        # Dense fallback: full stack, then replay the bisection on it.
         fx, fu = dense()
         masks = jax.vmap(lambda f: iterative_error_mask(cfg, f, N))(fx)
         pct = (100.0 * jnp.sum(masks, axis=1) / T).astype(dtype)
 
     return interp(masks, fx), interp(masks, fu), pct
+
+
+def _iterative_error_sparse_batched(
+    at_indices: Callable, cfg: DerivsInterpolation,
+    x: jax.Array, u: jax.Array, budget: int,
+):
+    """Batched twin of :func:`_iterative_error_sparse`.
+
+    Every (scenario, candidate-mid) pair at a tree level becomes one lane
+    of a single ``at_indices`` call, so the lane-major Jacobian kernel sees
+    B*cap lanes per level instead of B*(N-1) dense lanes.
+    """
+    B, N, n = x.shape
+    m = u.shape[-1]
+    T = N - 1
+    dtype = x.dtype
+    thr = cfg.iterative_error_threshold
+    levels = _dyadic_tree(N, cfg.minN)
+    caps = _level_caps(levels, max(3, int(budget)))
+
+    fx_buf = jnp.zeros((B, T, n, n), dtype)
+    fu_buf = jnp.zeros((B, T, n, m), dtype)
+    visited = jnp.zeros((B, T), bool)
+    scat = jax.vmap(lambda z, o, v: z.at[o].set(v, mode="drop"))
+    gat = lambda buf, ii: jnp.take_along_axis(
+        buf, ii.reshape(B, -1, 1, 1), axis=1)
+
+    s0, e0, m0 = 0, N - 2, (N - 2) // 2
+    idx0 = np.array([s0, m0, e0], np.int32)
+    fx_k, fu_k = at_indices(x[:, idx0], u[:, idx0])
+    fx_buf = fx_buf.at[:, idx0].set(fx_k)
+    fu_buf = fu_buf.at[:, idx0].set(fu_k)
+    visited = visited.at[:, idx0].set(True)
+    err0 = jnp.sum(
+        (0.5 * (fx_buf[:, s0] + fx_buf[:, e0]) - fx_buf[:, m0]) ** 2,
+        axis=(-2, -1)) / (2 * n)
+    bad0 = err0 > thr
+    active = jnp.stack([bad0, bad0], axis=1)  # (B, 2)
+
+    for (starts, ends, mids, wide), cap in zip(levels[1:], caps[1:]):
+        if cap == 0:
+            break
+        want = active & jnp.asarray(wide)[None]  # (B, L)
+        order = jnp.argsort(~want, axis=1, stable=True)[:, :cap]  # (B, cap)
+        checked = jnp.take_along_axis(want, order, axis=1)
+        idx = jnp.where(checked, jnp.asarray(mids)[order], T)
+        idx_c = jnp.minimum(idx, T - 1)[..., None]
+        fx_k, fu_k = at_indices(
+            jnp.take_along_axis(x[:, :T], idx_c, axis=1),
+            jnp.take_along_axis(u, idx_c, axis=1))
+        fx_buf = scat(fx_buf, idx, fx_k)
+        fu_buf = scat(fu_buf, idx, fu_k)
+        visited = scat(visited, idx, jnp.ones_like(checked))
+        s_l = jnp.asarray(starts)[order]
+        e_l = jnp.asarray(ends)[order]
+        m_l = jnp.asarray(mids)[order]
+        err = jnp.sum(
+            (0.5 * (gat(fx_buf, s_l) + gat(fx_buf, e_l)) - gat(fx_buf, m_l))
+            ** 2, axis=(-2, -1)) / (2 * n)
+        bad_lane = checked & (err > thr)
+        bad = jax.vmap(lambda o, v: jnp.zeros(len(starts), bool).at[o].set(v))(
+            order, bad_lane)
+        active = jnp.concatenate([bad, bad], axis=1)
+
+    interp = jax.vmap(interpolate_stack)
+    pct = (100.0 * jnp.sum(visited, axis=1) / T).astype(dtype)
+    return interp(visited, fx_buf), interp(visited, fu_buf), pct
 
 
 def compute_derivatives(
@@ -400,6 +602,9 @@ def compute_derivatives(
     elif cfg.keypoint_method == ADAPTIVE_JERK:
         mask = adaptive_jerk_mask(cfg, x, N, x.shape[1])
     elif cfg.keypoint_method == ITERATIVE_ERROR:
+        if cfg.max_keypoints is not None and (N - 2) > cfg.minN:
+            return _iterative_error_sparse(step, cfg, x, u,
+                                           cfg.max_keypoints, cfg.jac_chunk)
         fx_full, fu_full = _dense_jacobians(step, x, u, cfg.jac_chunk)
         mask = iterative_error_mask(cfg, fx_full, N)
         fx = interpolate_stack(mask, fx_full)
@@ -410,15 +615,14 @@ def compute_derivatives(
         raise ValueError(cfg.keypoint_method)
 
     if cfg.max_keypoints is not None:
-        fx, fu = _sparse_jacobians(step, x, u, mask, cfg.max_keypoints,
-                                   cfg.jac_chunk)
+        budget = cfg.max_keypoints
     elif cfg.keypoint_method == SET_INTERVAL:
         # Static mask: budget is exactly the keypoint count.
         budget = int(set_interval_mask(N, cfg.minN).sum())
-        fx, fu = _sparse_jacobians(step, x, u, mask, budget)
     else:
-        fx_full, fu_full = _dense_jacobians(step, x, u)
-        fx, fu = fx_full, fu_full
+        # adaptiveJerk: spacing >= min(minN, maxN) makes this sufficient.
+        budget = _adaptive_jerk_budget(cfg, N)
+    fx, fu = _sparse_jacobians(step, x, u, mask, budget, cfg.jac_chunk)
 
     fx = interpolate_stack(mask, fx)
     fu = interpolate_stack(mask, fu)

@@ -111,3 +111,74 @@ def test_keypoint_solver_end_to_end():
         sol = jax.jit(lambda p: solve_ilqr(sys, cfg, p))(prob)
         assert not bool(sol.diverged), derivs.keypoint_method
         assert abs(float(sol.x[-1, 0]) - np.pi) < 0.15, derivs.keypoint_method
+
+
+def _cart_pole_traj(N=40, B=None, seed=0):
+    from drake_ddp_tpu.dynamics.analytic import cart_pole_system
+
+    rng = np.random.default_rng(seed)
+    shape = (N, 4) if B is None else (B, N, 4)
+    ushape = (N - 1, 1) if B is None else (B, N - 1, 1)
+    x = jnp.asarray(rng.normal(scale=0.3, size=shape), jnp.float32)
+    u = jnp.asarray(rng.normal(scale=0.3, size=ushape), jnp.float32)
+    return cart_pole_system(dt=0.01).bound_step(), x, u
+
+
+def _lane_jac(step):
+    """Reference lane-major Jacobian kernel built from vmapped jacfwd."""
+
+    def jac_T(xL, uL):
+        fx, fu = jax.vmap(jax.jacfwd(step, argnums=(0, 1)))(xL.T, uL.T)
+        return jnp.moveaxis(fx, 0, -1), jnp.moveaxis(fu, 0, -1)
+
+    return jac_T
+
+
+@pytest.mark.parametrize("minN,thr", [(2, 1e-4), (5, 1e-2), (2, 0.0)])
+def test_iterative_error_sparse_matches_dense(minN, thr):
+    """Budgeted lazy evaluation reproduces the dense-replay parity path
+    exactly when the budget covers the true keypoint set."""
+    step, x, u = _cart_pole_traj()
+    N = x.shape[0]
+    cfg_d = kp.DerivsInterpolation("iterativeError", minN, 0, 0.0, thr)
+    fx_d, fu_d, pct_d = kp.compute_derivatives(step, cfg_d, x, u)
+    cfg_s = cfg_d._replace(max_keypoints=N)
+    fx_s, fu_s, pct_s = kp.compute_derivatives(step, cfg_s, x, u)
+    np.testing.assert_allclose(np.asarray(fx_s), np.asarray(fx_d), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fu_s), np.asarray(fu_d), rtol=2e-5, atol=2e-5)
+    assert abs(float(pct_s) - float(pct_d)) < 1e-3
+    # A tight budget must still produce finite, usable derivatives.
+    fx_t, _, pct_t = kp.compute_derivatives(step, cfg_d._replace(max_keypoints=7), x, u)
+    assert np.isfinite(np.asarray(fx_t)).all()
+    assert float(pct_t) <= float(pct_s) + 1e-3
+
+
+def test_iterative_error_sparse_batched_matches_single():
+    step, x, u = _cart_pole_traj(B=3)
+    cfg = kp.DerivsInterpolation("iterativeError", 2, 0, 0.0, 1e-4,
+                                 max_keypoints=x.shape[1])
+    fx_b, fu_b, pct_b = kp.compute_derivatives_batched(_lane_jac(step), cfg, x, u)
+    for b in range(x.shape[0]):
+        fx1, fu1, p1 = kp.compute_derivatives(step, cfg, x[b], u[b])
+        np.testing.assert_allclose(np.asarray(fx_b[b]), np.asarray(fx1), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(fu_b[b]), np.asarray(fu1), rtol=2e-5, atol=2e-5)
+        assert abs(float(pct_b[b]) - float(p1)) < 1e-3
+
+
+@pytest.mark.parametrize("minN,maxN,thr", [(2, 20, 0.3), (5, 100, 0.0007), (1, 10, 0.1)])
+def test_adaptive_jerk_auto_budget(minN, maxN, thr):
+    """With max_keypoints unset, adaptiveJerk derives a sufficient static
+    budget (spacing >= min(minN, maxN)) — sparse result == dense result."""
+    step, x, u = _cart_pole_traj()
+    N = x.shape[0]
+    cfg = kp.DerivsInterpolation("adaptiveJerk", minN, maxN, thr, 0.0)
+    mask = kp.adaptive_jerk_mask(cfg, x, N, 4)
+    assert int(np.asarray(mask).sum()) <= kp._adaptive_jerk_budget(cfg, N)
+    fx_a, fu_a, _ = kp.compute_derivatives(step, cfg, x, u)
+    fx_full, fu_full = jax.vmap(jax.jacfwd(step, argnums=(0, 1)))(x[:-1], u)
+    np.testing.assert_allclose(
+        np.asarray(fx_a), np.asarray(kp.interpolate_stack(mask, fx_full)),
+        rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(fu_a), np.asarray(kp.interpolate_stack(mask, fu_full)),
+        rtol=2e-5, atol=2e-5)
