@@ -66,6 +66,7 @@ def contact_forces_implicit(
     mu: jax.Array,       # (NC,)
     dt: float,
     params: ContactForceParams = ContactForceParams(),
+    K1: jax.Array = None,  # (NC,) linear foundation stiffness (box faces)
 ):
     """Force with implicitly-predicted penetration phi' = phi - dt*(n.v),
     plus its exact Jacobian D = df/dv_rel (NC, 3, 3).
@@ -89,6 +90,13 @@ def contact_forces_implicit(
     phi_s = jax.nn.softplus(z) * w
     sig = jax.nn.sigmoid(z)
     fn0 = s * K * phi_s * phi_s
+    dfn0 = 2.0 * s * K * phi_s       # dfn0/dphi_s
+    if K1 is not None:
+        # linear elastic-foundation term: flat faces on compliant ground
+        # carry pressure g*phi over a constant patch area (geometry.py bh
+        # pairs), unlike spheres whose patch grows with phi
+        fn0 = fn0 + K1 * phi_s
+        dfn0 = dfn0 + K1
     eps = 1e-3  # smooth_relu default width
     xx = 1.0 - d * vn
     rt = jnp.sqrt(xx * xx + eps * eps)
@@ -100,7 +108,7 @@ def contact_forces_implicit(
     mu_over = mu * fn / sigma
     f = fn[:, None] * normal - mu_over[:, None] * vt
 
-    b = -(2.0 * s * K * phi_s * sig * dt * hc + fn0 * dhc * d)
+    b = -(dfn0 * sig * dt * hc + fn0 * dhc * d)
     vt_unit = vt / sigma[:, None]
     eye = jnp.eye(3, dtype=v_rel.dtype)
     P = eye[None] - normal[:, :, None] * normal[:, None, :]
@@ -114,6 +122,43 @@ def contact_forces_implicit(
     return f, D
 
 
+def stiction_step_limit(
+    v_rel: jax.Array,    # (NC, 3) contact velocities at the current iterate
+    dv_rel: jax.Array,   # (NC, 3) change a full Newton step would APPLY
+    normal: jax.Array,   # (NC, 3)
+    stiction_vel: float,
+) -> jax.Array:
+    """Global Newton step scale alpha in (0, 1] limiting tangential
+    velocity changes across the stiction circle.
+
+    The regularized friction force is extremely stiff inside
+    |vt| < stiction_vel; a full Newton step that throws a contact's vt
+    far across the circle overshoots the force reversal and ping-pongs
+    (a light body held by several stiff contacts never converges — e.g.
+    a spinning box resting on the ground gains energy).  Drake's TAMSI
+    solver limits per-iteration tangential changes for exactly this
+    reason (Castro et al. 2019).  Here the cap is the CONTINUOUS rule
+
+        |alpha * dvt| <= |vt| + stiction_vel
+
+    — a step may at most double a contact's distance-from-stiction (plus
+    one regularization width), which kills the overshoot geometrically
+    while leaving honest steps (shrinking |vt|, or far from stiction)
+    untouched.  Continuity matters: an exact circle-crossing root is
+    discontinuous at grazing geometry, and the scalar / lane-major /
+    Pallas step implementations then amplify f32 reassociation noise
+    into divergent Newton paths (the twins are pinned to ~1e-5).
+    """
+    vn = jnp.einsum("ci,ci->c", v_rel, normal)
+    dvn = jnp.einsum("ci,ci->c", dv_rel, normal)
+    vt = v_rel - vn[:, None] * normal
+    dvt = dv_rel - dvn[:, None] * normal
+    vt_n = jnp.sqrt(jnp.einsum("ci,ci->c", vt, vt))
+    dvt_n = jnp.sqrt(jnp.einsum("ci,ci->c", dvt, dvt))
+    alpha_c = (vt_n + stiction_vel) / jnp.maximum(dvt_n, 1e-12)
+    return jnp.minimum(1.0, jnp.min(alpha_c))
+
+
 def contact_forces(
     phi: jax.Array,      # (NC,) penetration (positive = contact)
     normal: jax.Array,   # (NC, 3) unit normal (force on body A along +n)
@@ -122,11 +167,14 @@ def contact_forces(
     d: jax.Array,        # (NC,) combined Hunt-Crossley dissipation
     mu: jax.Array,       # (NC,) combined friction
     params: ContactForceParams = ContactForceParams(),
+    K1: jax.Array = None,  # (NC,) linear foundation stiffness (box faces)
 ) -> jax.Array:
     """World-frame force on body A at each candidate contact: (NC, 3)."""
     phi_s = smooth_penetration(phi, params.smooth_width)
     vn = jnp.einsum("ci,ci->c", v_rel, normal)      # separation rate > 0
     fn = params.force_scale * K * phi_s * phi_s
+    if K1 is not None:
+        fn = fn + K1 * phi_s
     fn = fn * smooth_relu(1.0 - d * vn)
     vt = v_rel - vn[:, None] * normal
     vt_norm = jnp.sqrt(jnp.einsum("ci,ci->c", vt, vt) + params.stiction_vel**2)

@@ -55,6 +55,7 @@ from drake_ddp_tpu.multibody.lanestep import (
     _integrate_positions_T,
     _kin_mass_T,
     _outer_sum,
+    _stiction_alpha_T,
     solve_small_T,
     solve_spd_T,
 )
@@ -118,7 +119,7 @@ def make_lane_jac(
                if nu else jnp.zeros_like(bias)) - bias
 
         if has_contact:
-            (phi, normal, point, body_a, body_b, Kp, dp, mup,
+            (phi, normal, point, body_a, body_b, Kp, dp, mup, K1p,
              Jc) = _contact_primal_T(model, contact, kinT)
             nc = Jc.shape[0]
             Jf = Jc.reshape(3 * nc, nv, L)
@@ -126,7 +127,8 @@ def make_lane_jac(
             def residual_T(vp):
                 v_rel = jnp.sum(Jc * vp[None, None], axis=2)
                 f, D = _contact_forces_implicit_T(
-                    phi, normal, v_rel, Kp, dp, mup, dt, force_params)
+                    phi, normal, v_rel, Kp, dp, mup, dt, force_params,
+                    K1=K1p)
                 tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                 res = jnp.sum(M * (vp - v)[None], axis=1) - dt * (
                     tau + tau_c)
@@ -137,17 +139,23 @@ def make_lane_jac(
                         for j in range(3))
                 return M - dt * _outer_sum(Jf, E.reshape(3 * nc, nv, L))
 
-            # same damped Newton as lanestep.make_lane_step (primal only)
+            # same stiction-limited damped Newton as
+            # lanestep.make_lane_step (primal only)
             vp = v + dt * solve_spd_T(M, tau)
             for _ in range(contact_iters):
                 res, D = residual_T(vp)
                 G = newton_mat(D)
                 dv = solve_small_T(G, res)
-                vp1 = vp - dv
+                v_rel = jnp.sum(Jc * vp[None, None], axis=2)
+                dv_rel = -jnp.sum(Jc * dv[None, None], axis=2)
+                alpha = _stiction_alpha_T(
+                    v_rel, dv_rel, normal, force_params.stiction_vel)
+                vp1 = vp - alpha[None] * dv
                 r1, _ = residual_T(vp1)
                 grew = (jnp.sum(r1 * r1, axis=0)
                         > 4.0 * jnp.sum(res * res, axis=0))
-                vp = jnp.where(grew[None], vp - 0.5 * dv, vp1)
+                vp = jnp.where(grew[None], vp - (0.5 * alpha)[None] * dv,
+                               vp1)
             # G evaluated at the converged root (the IFT linearization
             # point — reference analog: plant.py lax.custom_root
             # tangent_solve)
@@ -167,11 +175,14 @@ def make_lane_jac(
             acc = jnp.sum(M2 * (vp - v)[None], axis=1)
             out = acc + dt * bias2
             if has_contact:
-                (phi2, normal2, _pt2, _ba, _bb, _K2, _d2, _m2,
+                # K1 is orientation-dependent (box silhouette area), so
+                # the q-tangent must flow through the recomputed K1_2
+                (phi2, normal2, _pt2, _ba, _bb, _K2, _d2, _m2, K1_2,
                  Jc2) = _contact_primal_T(model, contact, kin2)
                 v_rel2 = jnp.sum(Jc2 * vp[None, None], axis=2)
                 f2 = _contact_force_pred_T(
-                    phi2, normal2, v_rel2, Kp, dp, mup, dt, force_params)
+                    phi2, normal2, v_rel2, Kp, dp, mup, dt, force_params,
+                    K1=K1_2)
                 tau_c2 = jnp.sum(Jc2 * f2[:, :, None], axis=(0, 1))
                 out = out - dt * tau_c2
             return out

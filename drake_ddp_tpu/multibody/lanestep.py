@@ -406,9 +406,15 @@ def _integrate_positions_T(model: MultibodyModel, q, v_next, dt):
 # ---------------------------------------------------------------------------
 
 
-def _narrowphase_T(cm: ContactModel, centers):
+def _narrowphase_T(cm: ContactModel, centers, box_R_w=None, box_p_w=None):
     """centers (ns, 3, B) -> phi (NC,B), normal (NC,3,B), point (NC,3,B),
-    static body index lists, K/d/mu (NC,) numpy constants."""
+    static body index lists, K/d/mu (NC,) numpy constants, and K1 —
+    None, or an (NC, B) traced array of linear foundation stiffnesses
+    when the model has box-face (bh) pairs.
+
+    ``box_R_w``/``box_p_w``: per-box world poses — numpy constants for
+    world-fixed boxes, traced (3,3,B)/(3,B) lane arrays for body-attached
+    boxes (computed in :func:`_contact_primal_T`)."""
     phis, normals, points = [], [], []
     body_a, body_b = [], []
     Ks, ds, mus = [], [], []
@@ -439,43 +445,57 @@ def _narrowphase_T(cm: ContactModel, centers):
         mus.append(np.asarray(cm.sh_mu))
 
     if cm.pair_sb_s:
-        s = list(cm.pair_sb_s)
-        b = list(cm.pair_sb_b)
-        c = pick(centers, s)
-        R = np.asarray(cm.box_rot)[b]                   # (c, 3, 3) const
-        pos = np.asarray(cm.box_pos)[b]
-        half = np.asarray(cm.box_half)[b]
-        Rc = np.asarray(R, dtype)
-        d0 = c - np.asarray(pos, dtype)[:, :, None]
-        local = sum(Rc[:, j][:, :, None] * d0[:, j][:, None]
-                    for j in range(3))
-        halfc = np.asarray(half, dtype)[:, :, None]
-        clamped = jnp.clip(local, -halfc, halfc)
-        delta = local - clamped
-        dist_out = jnp.sqrt(jnp.sum(delta * delta, 1))  # (c, B)
-        inside_gap = halfc - jnp.abs(local)
-        min_gap = jnp.min(inside_gap, axis=1)
-        inside = dist_out < 1e-9
-        # inner-face normal without argmin/gather: one-hot of the min gap
-        is_min = (inside_gap <= min_gap[:, None] + 0.0).astype(dtype)
-        # break ties toward the first axis (x, then y, then z)
-        w0 = is_min[:, 0]
-        w1 = is_min[:, 1] * (1.0 - w0)
-        w2 = is_min[:, 2] * (1.0 - w0) * (1.0 - w1)
-        one_hot = jnp.stack([w0, w1, w2], axis=1)
-        sign = jnp.sign(jnp.sum(one_hot * local, axis=1))
-        n_local_in = one_hot * sign[:, None]
-        n_local_out = delta / jnp.maximum(dist_out, 1e-9)[:, None]
-        n_local = jnp.where(inside[:, None], n_local_in, n_local_out)
-        sd = jnp.where(inside, -min_gap, dist_out)
-        r = np.asarray(cm.sph_radius)[s]
-        phi = np.asarray(r, dtype)[:, None] - sd
-        n_w = sum(Rc[:, :, j][:, :, None] * n_local[:, j][:, None]
-                  for j in range(3))
-        p_w = c - (sd - 0.5 * phi)[:, None] * n_w
-        phis.append(phi); normals.append(n_w); points.append(p_w)
-        body_a += [cm.sph_body[i] for i in cm.pair_sb_s]
-        body_b += [-1] * len(cm.pair_sb_s)
+        # per-pair unroll so each box's pose may be a numpy constant
+        # (world box) or a traced lane array (body-attached box)
+        for si, bi in zip(cm.pair_sb_s, cm.pair_sb_b):
+            c = centers[si]                             # (3, B)
+            Rw, pw = box_R_w[bi], box_p_w[bi]
+            static_box = isinstance(Rw, np.ndarray)
+            if static_box:
+                Rw = np.asarray(Rw, dtype)
+                d0 = c - np.asarray(pw, dtype)[:, None]
+                local = jnp.stack([
+                    sum(float(Rw[k, j]) * d0[k] for k in range(3))
+                    for j in range(3)])                 # R^T d0, (3, B)
+            else:
+                d0 = c - pw
+                local = jnp.stack([
+                    sum(Rw[k, j] * d0[k] for k in range(3))
+                    for j in range(3)])
+            half = np.asarray(cm.box_half, dtype)[bi][:, None]  # (3, 1)
+            clamped = jnp.clip(local, -half, half)
+            delta = local - clamped
+            dist_out = jnp.sqrt(jnp.sum(delta * delta, 0))      # (B,)
+            inside_gap = half - jnp.abs(local)
+            min_gap = jnp.min(inside_gap, axis=0)
+            inside = dist_out < 1e-9
+            # inner-face normal without argmin/gather: one-hot of the
+            # min gap, ties broken toward the first axis (x, y, z)
+            is_min = (inside_gap <= min_gap[None]).astype(dtype)
+            w0 = is_min[0]
+            w1 = is_min[1] * (1.0 - w0)
+            w2 = is_min[2] * (1.0 - w0) * (1.0 - w1)
+            one_hot = jnp.stack([w0, w1, w2])
+            sign = jnp.sign(jnp.sum(one_hot * local, axis=0))
+            n_local_in = one_hot * sign[None]
+            n_local_out = delta / jnp.maximum(dist_out, 1e-9)[None]
+            n_local = jnp.where(inside[None], n_local_in, n_local_out)
+            sd = jnp.where(inside, -min_gap, dist_out)
+            r = float(np.asarray(cm.sph_radius)[si])
+            phi = r - sd
+            if static_box:
+                n_w = jnp.stack([
+                    sum(float(Rw[a, j]) * n_local[j] for j in range(3))
+                    for a in range(3)])
+            else:
+                n_w = jnp.stack([
+                    sum(Rw[a, j] * n_local[j] for j in range(3))
+                    for a in range(3)])
+            p_w = c - (sd - 0.5 * phi)[None] * n_w
+            phis.append(phi[None]); normals.append(n_w[None])
+            points.append(p_w[None])
+            body_a.append(cm.sph_body[si])
+            body_b.append(cm.box_body[bi])
         Ks.append(np.asarray(cm.sb_K)); ds.append(np.asarray(cm.sb_d))
         mus.append(np.asarray(cm.sb_mu))
 
@@ -496,11 +516,74 @@ def _narrowphase_T(cm: ContactModel, centers):
         Ks.append(np.asarray(cm.ss_K)); ds.append(np.asarray(cm.ss_d))
         mus.append(np.asarray(cm.ss_mu))
 
+    if cm.pair_sw_s:
+        s = list(cm.pair_sw_s)
+        w_idx = list(cm.pair_sw_w)
+        ca = pick(centers, s)                           # (c, 3, B)
+        cw = np.asarray(cm.ws_pos, dtype)[w_idx]        # (c, 3) const
+        ra = np.asarray(cm.sph_radius)[s]
+        rw = np.asarray(cm.ws_radius)[w_idx]
+        dvec = ca - cw[:, :, None]
+        dist = jnp.sqrt(jnp.sum(dvec * dvec, 1))
+        n = dvec / jnp.maximum(dist, 1e-9)[:, None]
+        phi = np.asarray(ra + rw, dtype)[:, None] - dist
+        pnt = cw[:, :, None] + (np.asarray(rw, dtype)[:, None]
+                                - 0.5 * phi)[:, None] * n
+        phis.append(phi); normals.append(n); points.append(pnt)
+        body_a += [cm.sph_body[i] for i in cm.pair_sw_s]
+        body_b += [-1] * len(cm.pair_sw_s)
+        Ks.append(np.asarray(cm.sw_K)); ds.append(np.asarray(cm.sw_d))
+        mus.append(np.asarray(cm.sw_mu))
+
+    n_quad = sum(p.shape[0] for p in phis)              # quadratic-law rows
+    K1_rows = []
+    if cm.pair_bh_b:
+        # box face vs halfspace: 8 corner point-contacts per pair with a
+        # LINEAR foundation stiffness K1 = g_eff * A_proj(R)/4 (see
+        # contact/geometry.narrowphase bh section for the derivation)
+        signs = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+                 for sz in (-1, 1)]
+        for pi, (bi, hi) in enumerate(zip(cm.pair_bh_b, cm.pair_bh_h)):
+            Rw, pw = box_R_w[bi], box_p_w[bi]           # traced (3,3,B)/(3,B)
+            n_h = np.asarray(cm.hs_normal, dtype)[hi]   # (3,) const
+            off_h = float(np.asarray(cm.hs_offset)[hi])
+            half = np.asarray(cm.box_half)[bi]
+            g = float(np.asarray(cm.bh_g)[pi])
+            # silhouette area projected along the plane normal
+            nb_ax = [jnp.abs(sum(float(n_h[a]) * Rw[a, j]
+                                 for a in range(3))) for j in range(3)]
+            hx, hy, hz = float(half[0]), float(half[1]), float(half[2])
+            a_proj = 4.0 * (hy * hz * nb_ax[0] + hx * hz * nb_ax[1]
+                            + hx * hy * nb_ax[2])       # (B,)
+            K1_pair = g * a_proj / 4.0
+            for s8 in signs:
+                loc = np.array(s8, float) * np.asarray(half, float)
+                corner = pw + jnp.stack([
+                    sum(Rw[a, k] * float(loc[k]) for k in range(3))
+                    for a in range(3)])                  # (3, B)
+                phi = off_h - sum(float(n_h[a]) * corner[a]
+                                  for a in range(3))     # (B,)
+                phis.append(phi[None])
+                normals.append(jnp.broadcast_to(
+                    jnp.asarray(n_h)[None, :, None], (1, 3) + phi.shape))
+                points.append(corner[None])
+                body_a.append(cm.box_body[bi])
+                body_b.append(-1)
+                K1_rows.append(K1_pair[None])
+        Ks.append(np.zeros(8 * len(cm.pair_bh_b)))
+        ds.append(np.repeat(np.asarray(cm.bh_d), 8))
+        mus.append(np.repeat(np.asarray(cm.bh_mu), 8))
+
     K = np.concatenate(Ks)
     d = np.concatenate(ds)
     mu = np.concatenate(mus)
-    return (jnp.concatenate(phis), jnp.concatenate(normals),
-            jnp.concatenate(points), tuple(body_a), tuple(body_b), K, d, mu)
+    phi_all = jnp.concatenate(phis)
+    K1 = None
+    if K1_rows:
+        K1 = jnp.concatenate(
+            [jnp.zeros((n_quad,) + phi_all.shape[1:], dtype)] + K1_rows)
+    return (phi_all, jnp.concatenate(normals), jnp.concatenate(points),
+            tuple(body_a), tuple(body_b), K, d, mu, K1)
 
 
 def _contact_jacobians_T(model, kinT, anc_np, body_a, body_b, points):
@@ -526,9 +609,10 @@ def _contact_jacobians_T(model, kinT, anc_np, body_a, body_b, points):
     return jnp.stack(rows)                               # (NC, 3, nv, B)
 
 
-def _contact_forces_T(phi, normal, v_rel, K, d, mu, params):
+def _contact_forces_T(phi, normal, v_rel, K, d, mu, params, K1=None):
     """contact/forces.contact_forces with trailing batch.
-    phi (NC,B), normal (NC,3,B), v_rel (NC,3,B); K/d/mu (NC,) numpy."""
+    phi (NC,B), normal (NC,3,B), v_rel (NC,3,B); K/d/mu (NC,) numpy;
+    K1 (NC,B) traced linear foundation stiffness, or None."""
     dtype = phi.dtype
     Kc = np.asarray(K, dtype)[:, None]
     dc = np.asarray(d, dtype)[:, None]
@@ -537,6 +621,8 @@ def _contact_forces_T(phi, normal, v_rel, K, d, mu, params):
     phi_s = jax.nn.softplus(phi / w) * w
     vn = jnp.sum(v_rel * normal, 1)                      # (NC, B)
     fn = params.force_scale * Kc * phi_s * phi_s
+    if K1 is not None:
+        fn = fn + K1 * phi_s
     x = 1.0 - dc * vn
     eps = 1e-3
     fn = fn * (0.5 * (x + jnp.sqrt(x * x + eps * eps)))
@@ -546,7 +632,8 @@ def _contact_forces_T(phi, normal, v_rel, K, d, mu, params):
     return fn[:, None] * normal + ft
 
 
-def _contact_force_pred_T(phi, normal, v_rel, K, d, mu, dt, params):
+def _contact_force_pred_T(phi, normal, v_rel, K, d, mu, dt, params,
+                          K1=None):
     """Force-only twin of :func:`_contact_forces_implicit_T` (same f, no
     Jacobian D) — used where only the force is needed so traced jaxprs
     (Pallas kernels, JVPs) don't carry dead D code."""
@@ -561,6 +648,8 @@ def _contact_force_pred_T(phi, normal, v_rel, K, d, mu, dt, params):
     z = (phi - dt * vn) / w
     phi_s = jax.nn.softplus(z) * w
     fn0 = s * Kc * phi_s * phi_s
+    if K1 is not None:
+        fn0 = fn0 + K1 * phi_s
     eps = 1e-3
     xx = 1.0 - dc * vn
     rt = jnp.sqrt(xx * xx + eps * eps)
@@ -572,7 +661,8 @@ def _contact_force_pred_T(phi, normal, v_rel, K, d, mu, dt, params):
     return fn[:, None] * normal - mu_over[:, None] * vt
 
 
-def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params):
+def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params,
+                               K1=None):
     """forces.contact_forces_implicit with trailing batch: returns
     f (NC,3,B) and D = df/dv_rel (NC,3,3,B)."""
     dtype = phi.dtype
@@ -587,6 +677,10 @@ def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params):
     phi_s = jax.nn.softplus(z) * w
     sig = jax.nn.sigmoid(z)
     fn0 = s * Kc * phi_s * phi_s
+    dfn0 = 2.0 * s * Kc * phi_s
+    if K1 is not None:
+        fn0 = fn0 + K1 * phi_s
+        dfn0 = dfn0 + K1
     eps = 1e-3
     xx = 1.0 - dc * vn
     rt = jnp.sqrt(xx * xx + eps * eps)
@@ -598,7 +692,7 @@ def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params):
     mu_over = muc * fn / sigma
     f = fn[:, None] * normal - mu_over[:, None] * vt
 
-    b = -(2.0 * s * Kc * phi_s * sig * dt * hc + fn0 * dhc * dc)  # (NC, B)
+    b = -(dfn0 * sig * dt * hc + fn0 * dhc * dc)     # (NC, B)
     vt_unit = vt / sigma[:, None]
     P = (np.eye(3, dtype=dtype)[None, :, :, None]
          - normal[:, :, None] * normal[:, None])         # (NC, 3, 3, B)
@@ -615,24 +709,63 @@ def _contact_forces_implicit_T(phi, normal, v_rel, K, d, mu, dt, params):
 def _contact_primal_T(model, contact: ContactModel, kinT):
     """Sphere centers -> narrowphase -> contact Jacobians, lane-major.
 
-    Returns (phi, normal, point, body_a, body_b, K, d, mu, Jc) — shared
-    between the step (below) and the derivative path (lanejac.py)."""
+    Returns (phi, normal, point, body_a, body_b, K, d, mu, K1, Jc) —
+    shared between the step (below) and the derivative path (lanejac.py).
+    K1 is None unless the model has box-face pairs."""
     anc_np = ancestor_dof_mask(model)
     R, p = kinT[0], kinT[1]
     off = np.asarray(contact.sph_offset)                 # (ns, 3)
-    centers = jnp.stack([
-        p[bi] + sum(R[bi, :, j] * float(off[ci, j]) for j in range(3))
-        for ci, bi in enumerate(contact.sph_body)
-    ])                                                   # (ns, 3, B)
-    phi, normal, point, body_a, body_b, K, d, mu = _narrowphase_T(
-        contact, centers)
+    if contact.sph_body:
+        centers = jnp.stack([
+            p[bi] + sum(R[bi, :, j] * float(off[ci, j]) for j in range(3))
+            for ci, bi in enumerate(contact.sph_body)
+        ])                                               # (ns, 3, B)
+    else:
+        centers = jnp.zeros((0, 3) + p.shape[2:], p.dtype)
+    # per-box world poses: numpy constants for world boxes, traced lane
+    # arrays for body-attached boxes
+    box_R_w, box_p_w = [], []
+    box_rot = np.asarray(contact.box_rot)
+    box_pos = np.asarray(contact.box_pos)
+    for i, bb in enumerate(contact.box_body):
+        if bb < 0:
+            box_R_w.append(box_rot[i])
+            box_p_w.append(box_pos[i])
+        else:
+            Rb = R[bb]                                   # (3, 3, B)
+            Rw = jnp.stack([jnp.stack([
+                sum(Rb[a, k] * float(box_rot[i][k, c]) for k in range(3))
+                for c in range(3)]) for a in range(3)])
+            pw = p[bb] + jnp.stack([
+                sum(Rb[a, k] * float(box_pos[i][k]) for k in range(3))
+                for a in range(3)])
+            box_R_w.append(Rw)
+            box_p_w.append(pw)
+    phi, normal, point, body_a, body_b, K, d, mu, K1 = _narrowphase_T(
+        contact, centers, box_R_w, box_p_w)
     Jc = _contact_jacobians_T(model, kinT, anc_np, body_a, body_b, point)
-    return phi, normal, point, body_a, body_b, K, d, mu, Jc
+    return phi, normal, point, body_a, body_b, K, d, mu, K1, Jc
 
 
 # ---------------------------------------------------------------------------
 # the step
 # ---------------------------------------------------------------------------
+
+
+def _stiction_alpha_T(v_rel, dv_rel, normal, stiction_vel):
+    """forces.stiction_step_limit with trailing batch: per-lane Newton
+    step scale capping each contact's tangential change at
+    |vt| + stiction_vel (continuous TAMSI-style anti-ping-pong — see
+    forces.py for why the cap must be continuous).
+    v_rel/dv_rel/normal: (nc, 3, B) -> (B,)."""
+    vn = jnp.sum(v_rel * normal, axis=1)
+    dvn = jnp.sum(dv_rel * normal, axis=1)
+    vt = v_rel - vn[:, None] * normal
+    dvt = dv_rel - dvn[:, None] * normal
+    vt_n = jnp.sqrt(jnp.sum(vt * vt, axis=1))
+    dvt_n = jnp.sqrt(jnp.sum(dvt * dvt, axis=1))
+    alpha_c = (vt_n + stiction_vel) / jnp.maximum(dvt_n, 1e-12)
+    return jnp.minimum(1.0, jnp.min(alpha_c, axis=0))
 
 
 def make_lane_step(
@@ -658,7 +791,7 @@ def make_lane_step(
         if contact is None or contact.num_contacts == 0:
             v_next = v + dt * solve_spd_T(M, tau)
         else:
-            (phi, normal, point, body_a, body_b, K, d, mu,
+            (phi, normal, point, body_a, body_b, K, d, mu, K1,
              Jc) = _contact_primal_T(model, contact, kinT)
             nc = Jc.shape[0]
             Jf = Jc.reshape(3 * nc, nv, -1)
@@ -666,14 +799,15 @@ def make_lane_step(
             if contact_iters == 0:
                 v_rel = jnp.sum(Jc * v[None, None], axis=2)
                 f = _contact_forces_T(
-                    phi, normal, v_rel, K, d, mu, force_params)
+                    phi, normal, v_rel, K, d, mu, force_params, K1=K1)
                 tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                 v_next = v + dt * solve_spd_T(M, tau + tau_c)
             else:
                 def residual_T(vp):
                     v_rel = jnp.sum(Jc * vp[None, None], axis=2)
                     f, D = _contact_forces_implicit_T(
-                        phi, normal, v_rel, K, d, mu, dt, force_params)
+                        phi, normal, v_rel, K, d, mu, dt, force_params,
+                        K1=K1)
                     tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                     res = jnp.sum(M * (vp - v)[None], axis=1) - dt * (
                         tau + tau_c)
@@ -689,13 +823,19 @@ def make_lane_step(
                     Ef = E.reshape(3 * nc, nv, -1)
                     G = M - dt * _outer_sum(Jf, Ef)
                     dv = solve_small_T(G, res)
-                    # damped Newton (see plant.py): per-lane half step if
-                    # the full step's residual grew (impact overshoot)
-                    vp1 = vp - dv
+                    # stiction-circle step limit + damped Newton (see
+                    # plant.py): per-lane half step if the scaled step's
+                    # residual grew (impact overshoot)
+                    v_rel = jnp.sum(Jc * vp[None, None], axis=2)
+                    dv_rel = -jnp.sum(Jc * dv[None, None], axis=2)
+                    alpha = _stiction_alpha_T(
+                        v_rel, dv_rel, normal, force_params.stiction_vel)
+                    vp1 = vp - alpha[None] * dv
                     r1, _ = residual_T(vp1)
                     grew = (jnp.sum(r1 * r1, axis=0)
                             > 4.0 * jnp.sum(res * res, axis=0))  # (B,)
-                    vp = jnp.where(grew[None], vp - 0.5 * dv, vp1)
+                    vp = jnp.where(grew[None], vp - (0.5 * alpha)[None] * dv,
+                                   vp1)
                 v_next = vp
 
         q_next = _integrate_positions_T(model, q, v_next, dt)

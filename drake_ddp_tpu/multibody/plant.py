@@ -28,6 +28,7 @@ from drake_ddp_tpu.contact.forces import (
     ContactForceParams,
     contact_forces,
     contact_forces_implicit,
+    stiction_step_limit,
 )
 from drake_ddp_tpu.contact.geometry import ContactModel, narrowphase
 from drake_ddp_tpu.dynamics.base import DiscreteSystem
@@ -83,25 +84,28 @@ def multibody_step(
         v_next = v + dt * solve_spd(dyn.M, tau)
     else:
         kin = dyn.kin
-        sph_body = jnp.asarray(contact.sph_body)
+        sph_body = jnp.asarray(contact.sph_body, jnp.int32)
         centers = kin.p[sph_body] + jnp.einsum(
             "cij,cj->ci", kin.R[sph_body], contact.sph_offset
         )
-        phi, normal, point, body_a, body_b, K, d, mu = narrowphase(contact, centers)
+        phi, normal, point, body_a, body_b, K, K1, d, mu = narrowphase(
+            contact, centers, body_R=kin.R, body_p=kin.p)
         Jc = _contact_jacobians(model, kin, contact, body_a, body_b, point)
 
         def residual(vp):
             v_rel = jnp.einsum("cin,n->ci", Jc, vp)
             vn = jnp.einsum("ci,ci->c", v_rel, normal)
             phi_pred = phi - dt * vn
-            f = contact_forces(phi_pred, normal, v_rel, K, d, mu, force_params)
+            f = contact_forces(phi_pred, normal, v_rel, K, d, mu,
+                               force_params, K1=K1)
             tau_c = jnp.einsum("cin,ci->n", Jc, f)
             return dyn.M @ (vp - v) - dt * (tau + tau_c)
 
         if contact_iters == 0:
             # explicit contact evaluation at (q, v)
             v_rel = jnp.einsum("cin,n->ci", Jc, v)
-            f = contact_forces(phi, normal, v_rel, K, d, mu, force_params)
+            f = contact_forces(phi, normal, v_rel, K, d, mu, force_params,
+                               K1=K1)
             tau_c = jnp.einsum("cin,ci->n", Jc, f)
             v_next = v + dt * solve_spd(dyn.M, tau + tau_c)
         else:
@@ -119,7 +123,7 @@ def multibody_step(
                 # which dominates the rollout scan's per-step latency.
                 v_rel = jnp.einsum("cin,n->ci", Jc, vp)
                 _, D = contact_forces_implicit(
-                    phi, normal, v_rel, K, d, mu, dt, force_params)
+                    phi, normal, v_rel, K, d, mu, dt, force_params, K1=K1)
                 # Two-stage contraction: E = D Jc per contact (tiny), then
                 # one well-shaped (nv, 3NC) @ (3NC, nv) matmul.  The fused
                 # triple einsum lowers to a ~3x-more-FLOPs dot with heavy
@@ -134,12 +138,19 @@ def multibody_step(
                 # Damped Newton: a full step can overshoot through the
                 # stiff force profile during fast impacts (fn ~ K phi^2
                 # with K ~ 1e5) and inject energy; fall back to a half
-                # step whenever the full step's residual grew.
+                # step whenever the full step's residual grew.  The step
+                # is additionally scaled so no contact's tangential
+                # velocity jumps across the stiction circle
+                # (forces.stiction_step_limit — TAMSI's anti-ping-pong).
                 vp = v0
+                vs = force_params.stiction_vel
                 for _ in range(contact_iters):
                     r = res_fn(vp)
                     dv = solve_small(newton_jac(vp), r)
-                    vp1 = vp - dv
+                    v_rel = jnp.einsum("cin,n->ci", Jc, vp)
+                    dv_rel = -jnp.einsum("cin,n->ci", Jc, dv)
+                    alpha = stiction_step_limit(v_rel, dv_rel, normal, vs)
+                    vp1 = vp - alpha * dv
                     r1 = res_fn(vp1)
                     # damp only on CLEAR overshoot (4x residual-norm^2,
                     # i.e. the norm doubled): impacts blow the residual
@@ -147,7 +158,7 @@ def multibody_step(
                     # threshold flips on f32 reassociation noise between
                     # the scalar and lane-major step implementations.
                     grew = jnp.sum(r1 * r1) > 4.0 * jnp.sum(r * r)
-                    vp = jnp.where(grew, vp - 0.5 * dv, vp1)
+                    vp = jnp.where(grew, vp - (0.5 * alpha) * dv, vp1)
                 return vp
 
             def tangent_solve(g, y):
