@@ -42,6 +42,7 @@ import numpy as np
 
 from drake_ddp_tpu.contact.geometry import (
     BOX,
+    CAPSULE,
     CYLINDER,
     SPHERE,
     CollisionGeometry,
@@ -126,7 +127,9 @@ class UrdfRobot:
     name: str
     links: Dict[str, UrdfLink]
     joints: List[UrdfJoint]
-    root: str                               # link with no parent joint
+    # link with no parent joint; None when every link is reached through
+    # explicit <parent>world</parent> joints (SDF models, io/sdf.py)
+    root: Optional[str]
     filtered_link_pairs: List[Tuple[str, str]]
     dir: str                                # base dir for mesh paths
 
@@ -174,6 +177,11 @@ def _parse_collision(el: ET.Element) -> Optional[UrdfCollision]:
     sphere = geom.find("sphere")
     box = geom.find("box")
     cyl = geom.find("cylinder")
+    # capsule: the <capsule> URDF extension and Drake's <drake:capsule>
+    # (the drake: prefix is rewritten to drake- tags by _sanitize)
+    capsule = geom.find("capsule")
+    if capsule is None:
+        capsule = geom.find("drake-capsule")
     mesh = geom.find("mesh")
     if sphere is not None:
         size = np.array([float(sphere.get("radius"))])
@@ -181,6 +189,12 @@ def _parse_collision(el: ET.Element) -> Optional[UrdfCollision]:
     if box is not None:
         full = np.array([float(v) for v in box.get("size").split()])
         return UrdfCollision(BOX, pos, rot, 0.5 * full, None, props)
+    if capsule is not None:
+        size = np.array([
+            float(capsule.get("radius")),
+            0.5 * float(capsule.get("length")),
+        ])
+        return UrdfCollision(CAPSULE, pos, rot, size, None, props)
     if cyl is not None:
         size = np.array([
             float(cyl.get("radius")),
@@ -372,8 +386,13 @@ def add_urdf(
         return idx
 
     root_type = FREE if floating else FIXED
-    add_link(robot.root, base_parent, root_type, base_pos, base_rot,
-             np.array([0.0, 0.0, 1.0]), 0.0, 0.0, False)
+    if robot.root is not None:
+        add_link(robot.root, base_parent, root_type, base_pos, base_rot,
+                 np.array([0.0, 0.0, 1.0]), 0.0, 0.0, False)
+    else:
+        # SDF-style world-rooted tree: joints with <parent>world</parent>
+        # attach directly to base_parent, composed with the base offset
+        body_index["world"] = base_parent
 
     # Add joints in DOCUMENT order (Drake assigns q/v slots in joint
     # declaration order — the reference's hard-coded states like
@@ -385,12 +404,16 @@ def add_urdf(
         remaining = []
         for j in pending:
             if j.parent in body_index:
+                o_pos, o_rot = j.origin_pos, j.origin_rot
+                if j.parent == "world" and robot.root is None:
+                    o_pos = base_pos + base_rot @ np.asarray(o_pos)
+                    o_rot = base_rot @ np.asarray(o_rot)
                 add_link(
                     j.child,
                     body_index[j.parent],
                     _JOINT_TYPES[j.type],
-                    j.origin_pos,
-                    j.origin_rot,
+                    o_pos,
+                    o_rot,
                     j.axis,
                     j.damping,
                     j.armature,
@@ -412,8 +435,9 @@ def add_urdf(
         # Drake filters collisions between bodies joined by a joint
         # (SceneGraph's default adjacency filter); mirror that.
         for j in robot.joints:
-            geometry.exclude_body_pair(body_index[j.parent],
-                                       body_index[j.child])
+            if j.parent in body_index:
+                geometry.exclude_body_pair(body_index[j.parent],
+                                           body_index[j.child])
 
     return body_index
 

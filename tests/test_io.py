@@ -214,3 +214,25 @@ def test_collision_filters_applied():
     # no sphere-sphere pair between the same or adjacent bodies
     for a, b in zip(cm.pair_ss_a, cm.pair_ss_b):
         assert cm.sph_body[a] != cm.sph_body[b]
+
+
+def test_urdf_capsule_parsing():
+    """<capsule> and <drake:capsule> parse to capsule collisions whose
+    sphere decomposition has exact endpoint caps."""
+    from drake_ddp_tpu.io.urdf import parse_urdf
+    from drake_ddp_tpu.contact.geometry import _decompose_to_spheres
+
+    urdf = """
+    <robot name="cap">
+      <link name="base">
+        <inertial><mass value="1.0"/>
+          <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+        </inertial>
+        <collision><geometry><capsule radius="0.02" length="0.2"/></geometry></collision>
+        <collision><geometry><drake:capsule radius="0.03" length="0.1"/></geometry></collision>
+      </link>
+    </robot>
+    """
+    r = parse_urdf(urdf)
+    kinds = [(c.kind, tuple(c.size)) for c in r.links["base"].collisions]
+    assert kinds == [("capsule", (0.02, 0.1)), ("capsule", (0.03, 0.05))]
