@@ -163,9 +163,14 @@ def build_solver(cfg: Config = Config()):
     return ilqr, x0, x_nom
 
 
-def run(cfg: Config = Config()):
+def run(cfg: Config = Config(), stream=None):
     """Initial solve + MPC resolves; returns the stitched state history
-    (mini_cheetah.py:180-216)."""
+    (mini_cheetah.py:180-216).
+
+    ``stream``: optional viz.stream.MPCStream — records every resolve's
+    predicted trajectory for the ghost-overlay HTML player (the
+    TPU-native analog of the reference publishing each resolve to the
+    live visualizer, mini_cheetah.py:208-213)."""
     import time
 
     ilqr, x0, x_nom = build_solver(cfg)
@@ -177,6 +182,8 @@ def run(cfg: Config = Config()):
     st = time.time()
     x, u, _, cost = ilqr.Solve()
     states[:, 0:num_steps] = x
+    if stream is not None:
+        stream.record(x)
 
     for i in range(cfg.num_resolves):
         if cfg.verbose:
@@ -191,6 +198,8 @@ def run(cfg: Config = Config()):
         ilqr.SetInitialGuess(u_guess)
         ilqr.SetTargetState(x_nom)
         x, u, _, cost = ilqr.Solve()
+        if stream is not None:
+            stream.record(x)
         start = (i + 1) * rs
         states[:, start:start + num_steps] = x
 

@@ -154,5 +154,31 @@ def run(cfg: Config = Config(), save_file: Optional[str] = None):
     return x, u, solve_time, cost
 
 
+def simulate(cfg: Config = Config(), sim_time: Optional[float] = None,
+             html_out: Optional[str] = None):
+    """Passive (zero-torque) simulation — the reference's ``simulate``
+    mode flag (panda_fr3.py:17-21).  Returns states (n, T)."""
+    import jax
+    import jax.numpy as jnp
+
+    system, model = build_system(cfg)
+    x0, _ = scenario_states(cfg)
+    T = int((cfg.T if sim_time is None else sim_time) / cfg.dt)
+    step = system.bound_step()
+    u0 = jnp.zeros((system.m,), jnp.float32)
+
+    def body(x, _):
+        xn = step(x, u0)
+        return xn, xn
+
+    _, xs = jax.lax.scan(body, jnp.asarray(x0, jnp.float32), None, length=T)
+    states = np.asarray(xs).T
+    if html_out is not None:
+        from drake_ddp_tpu.viz import export_html
+
+        export_html(html_out, model, system.params[1], states, cfg.dt)
+    return states
+
+
 if __name__ == "__main__":
     run()

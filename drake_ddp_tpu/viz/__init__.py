@@ -11,7 +11,10 @@ TPU-native equivalents here are likewise host-side and offline:
   external assets — works in any browser, survives zero-egress
   environments);
 - :func:`animate_matplotlib`: a matplotlib animation for quick looks
-  and for saving mp4/gif.
+  and for saving mp4/gif;
+- :class:`MPCStream`: per-resolve MPC trajectory recorder + ghost-overlay
+  player (the reference's live per-resolve publishing,
+  mini_cheetah.py:208-213, re-done as offline streaming).
 """
 
 from drake_ddp_tpu.viz.playback import (
@@ -19,5 +22,7 @@ from drake_ddp_tpu.viz.playback import (
     export_html,
     scene_frames,
 )
+from drake_ddp_tpu.viz.stream import MPCStream
 
-__all__ = ["animate_matplotlib", "export_html", "scene_frames"]
+__all__ = ["MPCStream", "animate_matplotlib", "export_html",
+           "scene_frames"]

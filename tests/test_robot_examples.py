@@ -97,3 +97,21 @@ def test_mini_cheetah_standing_is_near_equilibrium():
     assert abs(z[-1] - 0.29) < 0.03   # base height holds over the horizon
     quat_w = np.asarray(traj[:, 0])
     assert quat_w[-1] > 0.99          # no flipping
+
+
+def test_kinova_simulate_mode():
+    """Passive simulation mode (reference kinova_gen3.py:17-21): the arm
+    falls under gravity, the ball stays on the table — finite states,
+    correct reference layout."""
+    import dataclasses
+
+    from drake_ddp_tpu.examples import kinova_gen3 as kg
+
+    cfg = dataclasses.replace(kg.Config(), verbose=False)
+    states = kg.simulate(cfg, sim_time=0.1)
+    n = states.shape[0]
+    assert states.shape[1] == int(0.1 / cfg.dt)
+    assert np.all(np.isfinite(states))
+    # passive: no actuation -> the arm moved (gravity), ball z sane
+    x0, _ = kg.scenario_states(cfg)
+    assert not np.allclose(states[:, -1], x0, atol=1e-5)

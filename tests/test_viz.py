@@ -41,3 +41,30 @@ def test_export_html(tmp_path):
     assert "<canvas" in html and "playback" in html
     assert "radii" in html  # embedded data
     assert len(html) > 1000
+
+
+def test_mpc_stream_export(tmp_path):
+    """MPCStream stitches resolves like the reference's states array and
+    exports a ghost-overlay player."""
+    from drake_ddp_tpu.viz import MPCStream
+
+    sys = _wall_system()
+    model, cm = sys.params
+    n = model.nq + model.nv
+    N, rs = 6, 2
+    stream = MPCStream(replan_steps=rs)
+    rng = np.random.default_rng(0)
+    resolves = [0.1 * rng.normal(size=(n, N)).astype(np.float32)
+                for _ in range(3)]
+    for x in resolves:
+        stream.record(x)
+    stitched = stream.executed(n)
+    assert stitched.shape == (rs * 2 + N, n)
+    np.testing.assert_allclose(stitched[:rs], resolves[0].T[:rs])
+    np.testing.assert_allclose(stitched[rs:2 * rs], resolves[1].T[:rs])
+    np.testing.assert_allclose(stitched[2 * rs:], resolves[2].T)
+    path = stream.export_html(str(tmp_path / "stream.html"), model, cm,
+                              dt=0.01)
+    html = open(path).read()
+    assert "ghosts" in html and "resolve" in html
+    assert len(html) > 1000
