@@ -166,6 +166,33 @@ class IterativeLinearQuadraticRegulator:
             )
         print(f"total solve time: {solve_time:.4f} s")
 
+    def SolveProfiled(self):
+        """Solve with per-phase device timing — the reference's
+        time_fp / time_getDerivs / time_bp columns (ilqr.py:685-704),
+        which the fused production solve cannot measure.  Slower than
+        Solve() (host-stepped, one device call per phase); use to answer
+        "where does the iteration go".  Returns the Solve() contract
+        plus the PhaseTimes record."""
+        from drake_ddp_tpu.solver.profile import (
+            format_phase_table,
+            profiled_solve,
+        )
+
+        st = time.time()
+        sol, times = profiled_solve(self.system, self.config,
+                                    self._problem())
+        sol = jax.tree_util.tree_map(np.asarray, jax.device_get(sol))
+        solve_time = time.time() - st
+        self._solution = sol
+        if self.verbose:
+            print(format_phase_table(sol, times))
+            print(f"total solve time: {solve_time:.4f} s")
+        if sol.diverged and self.raise_on_divergence:
+            raise RuntimeError(
+                "linesearch failed (eps < %g)" % self.config.eps_min
+            )
+        return sol.x.T, sol.u.T, solve_time, float(sol.cost), times
+
     # -- persistence (reference ilqr.py:712-733) -------------------------
 
     def SolveDirectTranscription(self, tcfg=None):

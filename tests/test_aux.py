@@ -46,3 +46,42 @@ def test_mpc_checkpoint_roundtrip(tmp_path):
     assert np.allclose(extras["costs"], 1.0)
     for a, b in zip(prob, prob2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_profiled_solve_matches_fused():
+    """The per-phase-timed host-stepped solve (solver/profile.py — the
+    reference's time_fp/time_getDerivs/time_bp columns, ilqr.py:685-704)
+    is semantically identical to the fused solve_ilqr."""
+    import jax
+
+    from drake_ddp_tpu.dynamics import pendulum_system
+    from drake_ddp_tpu.solver.ilqr import ILQRConfig, solve_ilqr
+    from drake_ddp_tpu.solver.profile import (
+        format_phase_table,
+        profiled_solve,
+    )
+
+    dt, N = 1e-2, 80
+    sys_ = pendulum_system(dt=dt)
+    cfg = ILQRConfig(num_steps=N, max_iters=10)
+    prob = ILQRProblem(
+        x0=jnp.zeros(2, jnp.float32),
+        x_nom=jnp.asarray([np.pi, 0.0], jnp.float32),
+        Q=jnp.asarray(dt * 0.01 * np.diag([0, 1.0]), jnp.float32),
+        R=jnp.asarray(dt * 0.01 * np.eye(1), jnp.float32),
+        Qf=jnp.asarray(100 * np.eye(2), jnp.float32),
+        u_init=jnp.zeros((N - 1, 1), jnp.float32),
+    )
+    ref = jax.jit(lambda p: solve_ilqr(sys_, cfg, p))(prob)
+    sol, times = profiled_solve(sys_, cfg, prob)
+    assert int(ref.iterations) == int(sol.iterations)
+    np.testing.assert_allclose(float(ref.cost), float(sol.cost), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.u), np.asarray(sol.u),
+                               atol=1e-5)
+    # one timing entry per phase per iteration, all nonnegative
+    assert len(times.forward) == int(sol.iterations)
+    assert len(times.backward) == int(sol.iterations)
+    assert all(t >= 0 for t in times.forward + times.derivs + times.backward)
+    table = format_phase_table(sol, times)
+    assert "time_fp" in table and "time_derivs" in table
+    assert "phase totals" in table
