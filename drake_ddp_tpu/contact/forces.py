@@ -122,41 +122,40 @@ def contact_forces_implicit(
     return f, D
 
 
-def stiction_step_limit(
-    v_rel: jax.Array,    # (NC, 3) contact velocities at the current iterate
-    dv_rel: jax.Array,   # (NC, 3) change a full Newton step would APPLY
-    normal: jax.Array,   # (NC, 3)
-    stiction_vel: float,
-) -> jax.Array:
-    """Global Newton step scale alpha in (0, 1] limiting tangential
-    velocity changes across the stiction circle.
+def stiction_schedule(stiction_vel: float, contact_iters: int,
+                      anneal: float = 4.0, vs_max: float = 5e-2):
+    """Per-iteration friction-regularization widths for the implicit
+    contact Newton solve: a CONTINUATION (homotopy) schedule annealing
+    from a softened curve down to the true ``stiction_vel`` —
+    [min(vs_max, vs * anneal^(n-1)), ..., vs * anneal, vs].
 
-    The regularized friction force is extremely stiff inside
-    |vt| < stiction_vel; a full Newton step that throws a contact's vt
-    far across the circle overshoots the force reversal and ping-pongs
-    (a light body held by several stiff contacts never converges — e.g.
-    a spinning box resting on the ground gains energy).  Drake's TAMSI
-    solver limits per-iteration tangential changes for exactly this
-    reason (Castro et al. 2019).  Here the cap is the CONTINUOUS rule
-
-        |alpha * dvt| <= |vt| + stiction_vel
-
-    — a step may at most double a contact's distance-from-stiction (plus
-    one regularization width), which kills the overshoot geometrically
-    while leaving honest steps (shrinking |vt|, or far from stiction)
-    untouched.  Continuity matters: an exact circle-crossing root is
-    discontinuous at grazing geometry, and the scalar / lane-major /
-    Pallas step implementations then amplify f32 reassociation noise
-    into divergent Newton paths (the twins are pinned to ~1e-5).
+    Why: the regularized Coulomb force is extremely stiff inside
+    |vt| < stiction_vel (slope ~ mu*fn/vs); full Newton steps on that
+    curve overshoot the force reversal and ping-pong, so a light body
+    held by several stiff contacts never converges (a tilted box
+    settling on the ground gains energy).  Drake's TAMSI limits
+    per-iteration tangential changes for this reason (Castro et al.
+    2019).  Step-limiting rules were tried here first and REJECTED:
+    any gate steep enough to resolve the stiction-vel-scale geometry
+    amplifies f32 backend ulps (XLA vs Mosaic vs scalar) into
+    percent-level rollout divergence between the twin step
+    implementations, and blanket growth caps stall the solve under
+    hard squeeze (kinova gripper pinning the ball: the root has
+    ~0.2 m/s slip; a capped Newton never reached it, forces stayed
+    tiny, and the ball sank 5 cm into the ground —
+    tools/probe_kinova.py).  The continuation schedule instead softens
+    the CURVE, not the step: early iterations see a wide, gentle
+    friction profile whose Newton steps are well-behaved and guide the
+    iterate into the basin; later iterations refine at progressively
+    sharper widths; the final iteration solves the TRUE model, so the
+    root (and the IFT derivatives evaluated there) are unchanged.  The
+    schedule is static — the step map stays a fixed composition of
+    smooth functions with no state-dependent gates, which is what keeps
+    the scalar / lane-major / Pallas twins pinned to ~1e-5.
     """
-    vn = jnp.einsum("ci,ci->c", v_rel, normal)
-    dvn = jnp.einsum("ci,ci->c", dv_rel, normal)
-    vt = v_rel - vn[:, None] * normal
-    dvt = dv_rel - dvn[:, None] * normal
-    vt_n = jnp.sqrt(jnp.einsum("ci,ci->c", vt, vt))
-    dvt_n = jnp.sqrt(jnp.einsum("ci,ci->c", dvt, dvt))
-    alpha_c = (vt_n + stiction_vel) / jnp.maximum(dvt_n, 1e-12)
-    return jnp.minimum(1.0, jnp.min(alpha_c))
+    vs = float(stiction_vel)
+    return [min(max(vs, vs_max), vs * anneal ** (contact_iters - 1 - it))
+            for it in range(contact_iters)]
 
 
 def contact_forces(

@@ -47,7 +47,10 @@ class Config:
     T: float = 0.5
     dt: float = 1e-2
     beta: float = 0.5
-    delta: float = 1e-3
+    # reference delta=1e-3 (panda_fr3.py:218) mistakes the smooth-
+    # contact approach plateau for convergence; see the kinova Config
+    # for the full account of these three solver/contact defaults
+    delta: float = 1e-5
     gamma: float = 0.0
     # contact (panda_fr3.py:77-83)
     dissipation: float = 5.0
@@ -55,7 +58,8 @@ class Config:
     resolution_hint: float = 0.05
     mu_static: float = 0.3
     mu_dynamic: float = 0.2
-    contact_iters: int = 2
+    contact_iters: int = 8
+    smooth_width: float = 1e-2
     verbose: bool = True
     mesh_max_spheres: int = 4
 
@@ -120,8 +124,12 @@ def build_system(cfg: Config = Config()):
                              np.zeros(1), ground_props, "ground"))
     model = mb.finalize()
     cm = build_contact_model(gs)
-    return make_multibody_system(model, cm, cfg.dt,
-                                 contact_iters=cfg.contact_iters), model
+    from drake_ddp_tpu.contact.forces import ContactForceParams
+
+    system = make_multibody_system(
+        model, cm, cfg.dt, contact_iters=cfg.contact_iters,
+        force_params=ContactForceParams(smooth_width=cfg.smooth_width))
+    return system, model
 
 
 def build_solver(cfg: Config = Config()):

@@ -55,10 +55,10 @@ from drake_ddp_tpu.multibody.lanestep import (
     _integrate_positions_T,
     _kin_mass_T,
     _outer_sum,
-    _stiction_alpha_T,
     solve_small_T,
     solve_spd_T,
 )
+from drake_ddp_tpu.contact.forces import stiction_schedule
 from drake_ddp_tpu.multibody.model import MultibodyModel
 
 
@@ -124,10 +124,10 @@ def make_lane_jac(
             nc = Jc.shape[0]
             Jf = Jc.reshape(3 * nc, nv, L)
 
-            def residual_T(vp):
+            def residual_T(vp, params=force_params):
                 v_rel = jnp.sum(Jc * vp[None, None], axis=2)
                 f, D = _contact_forces_implicit_T(
-                    phi, normal, v_rel, Kp, dp, mup, dt, force_params,
+                    phi, normal, v_rel, Kp, dp, mup, dt, params,
                     K1=K1p)
                 tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                 res = jnp.sum(M * (vp - v)[None], axis=1) - dt * (
@@ -139,23 +139,20 @@ def make_lane_jac(
                         for j in range(3))
                 return M - dt * _outer_sum(Jf, E.reshape(3 * nc, nv, L))
 
-            # same stiction-limited damped Newton as
-            # lanestep.make_lane_step (primal only)
+            # same continuation damped Newton as lanestep.make_lane_step
+            # (primal only; see forces.stiction_schedule)
             vp = v + dt * solve_spd_T(M, tau)
-            for _ in range(contact_iters):
-                res, D = residual_T(vp)
+            for vs_eff in stiction_schedule(force_params.stiction_vel,
+                                            contact_iters):
+                p_it = force_params._replace(stiction_vel=vs_eff)
+                res, D = residual_T(vp, p_it)
                 G = newton_mat(D)
                 dv = solve_small_T(G, res)
-                v_rel = jnp.sum(Jc * vp[None, None], axis=2)
-                dv_rel = -jnp.sum(Jc * dv[None, None], axis=2)
-                alpha = _stiction_alpha_T(
-                    v_rel, dv_rel, normal, force_params.stiction_vel)
-                vp1 = vp - alpha[None] * dv
-                r1, _ = residual_T(vp1)
+                vp1 = vp - dv
+                r1, _ = residual_T(vp1, p_it)
                 grew = (jnp.sum(r1 * r1, axis=0)
                         > 4.0 * jnp.sum(res * res, axis=0))
-                vp = jnp.where(grew[None], vp - (0.5 * alpha)[None] * dv,
-                               vp1)
+                vp = jnp.where(grew[None], vp - 0.5 * dv, vp1)
             # G evaluated at the converged root (the IFT linearization
             # point — reference analog: plant.py lax.custom_root
             # tangent_solve)

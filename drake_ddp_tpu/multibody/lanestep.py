@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from drake_ddp_tpu.contact.forces import ContactForceParams
+from drake_ddp_tpu.contact.forces import (ContactForceParams,
+                                           stiction_schedule)
 from drake_ddp_tpu.contact.geometry import ContactModel
 from drake_ddp_tpu.multibody.model import (
     FIXED,
@@ -752,22 +753,6 @@ def _contact_primal_T(model, contact: ContactModel, kinT):
 # ---------------------------------------------------------------------------
 
 
-def _stiction_alpha_T(v_rel, dv_rel, normal, stiction_vel):
-    """forces.stiction_step_limit with trailing batch: per-lane Newton
-    step scale capping each contact's tangential change at
-    |vt| + stiction_vel (continuous TAMSI-style anti-ping-pong — see
-    forces.py for why the cap must be continuous).
-    v_rel/dv_rel/normal: (nc, 3, B) -> (B,)."""
-    vn = jnp.sum(v_rel * normal, axis=1)
-    dvn = jnp.sum(dv_rel * normal, axis=1)
-    vt = v_rel - vn[:, None] * normal
-    dvt = dv_rel - dvn[:, None] * normal
-    vt_n = jnp.sqrt(jnp.sum(vt * vt, axis=1))
-    dvt_n = jnp.sqrt(jnp.sum(dvt * dvt, axis=1))
-    alpha_c = (vt_n + stiction_vel) / jnp.maximum(dvt_n, 1e-12)
-    return jnp.minimum(1.0, jnp.min(alpha_c, axis=0))
-
-
 def make_lane_step(
     model: MultibodyModel,
     contact: Optional[ContactModel],
@@ -803,10 +788,10 @@ def make_lane_step(
                 tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                 v_next = v + dt * solve_spd_T(M, tau + tau_c)
             else:
-                def residual_T(vp):
+                def residual_T(vp, params):
                     v_rel = jnp.sum(Jc * vp[None, None], axis=2)
                     f, D = _contact_forces_implicit_T(
-                        phi, normal, v_rel, K, d, mu, dt, force_params,
+                        phi, normal, v_rel, K, d, mu, dt, params,
                         K1=K1)
                     tau_c = jnp.sum(Jc * f[:, :, None], axis=(0, 1))
                     res = jnp.sum(M * (vp - v)[None], axis=1) - dt * (
@@ -814,8 +799,14 @@ def make_lane_step(
                     return res, D
 
                 vp = v + dt * solve_spd_T(M, tau)        # contact-free predictor
-                for _ in range(contact_iters):
-                    res, D = residual_T(vp)
+                # stiction-regularization continuation + damped Newton
+                # (see plant.py / forces.stiction_schedule): per-lane
+                # half step if the full step's residual grew (impact
+                # overshoot)
+                for vs_eff in stiction_schedule(
+                        force_params.stiction_vel, contact_iters):
+                    p_it = force_params._replace(stiction_vel=vs_eff)
+                    res, D = residual_T(vp, p_it)
                     # G = M - dt Jc' D Jc via E = D Jc (unrolled) and a
                     # chunked sum of outer products
                     E = sum(D[:, :, j][:, :, None] * Jc[:, j][:, None]
@@ -823,19 +814,11 @@ def make_lane_step(
                     Ef = E.reshape(3 * nc, nv, -1)
                     G = M - dt * _outer_sum(Jf, Ef)
                     dv = solve_small_T(G, res)
-                    # stiction-circle step limit + damped Newton (see
-                    # plant.py): per-lane half step if the scaled step's
-                    # residual grew (impact overshoot)
-                    v_rel = jnp.sum(Jc * vp[None, None], axis=2)
-                    dv_rel = -jnp.sum(Jc * dv[None, None], axis=2)
-                    alpha = _stiction_alpha_T(
-                        v_rel, dv_rel, normal, force_params.stiction_vel)
-                    vp1 = vp - alpha[None] * dv
-                    r1, _ = residual_T(vp1)
+                    vp1 = vp - dv
+                    r1, _ = residual_T(vp1, p_it)
                     grew = (jnp.sum(r1 * r1, axis=0)
                             > 4.0 * jnp.sum(res * res, axis=0))  # (B,)
-                    vp = jnp.where(grew[None], vp - (0.5 * alpha)[None] * dv,
-                                   vp1)
+                    vp = jnp.where(grew[None], vp - 0.5 * dv, vp1)
                 v_next = vp
 
         q_next = _integrate_positions_T(model, q, v_next, dt)

@@ -28,7 +28,7 @@ from drake_ddp_tpu.contact.forces import (
     ContactForceParams,
     contact_forces,
     contact_forces_implicit,
-    stiction_step_limit,
+    stiction_schedule,
 )
 from drake_ddp_tpu.contact.geometry import ContactModel, narrowphase
 from drake_ddp_tpu.dynamics.base import DiscreteSystem
@@ -92,14 +92,17 @@ def multibody_step(
             contact, centers, body_R=kin.R, body_p=kin.p)
         Jc = _contact_jacobians(model, kin, contact, body_a, body_b, point)
 
-        def residual(vp):
+        def residual_p(vp, params):
             v_rel = jnp.einsum("cin,n->ci", Jc, vp)
             vn = jnp.einsum("ci,ci->c", v_rel, normal)
             phi_pred = phi - dt * vn
             f = contact_forces(phi_pred, normal, v_rel, K, d, mu,
-                               force_params, K1=K1)
+                               params, K1=K1)
             tau_c = jnp.einsum("cin,ci->n", Jc, f)
             return dyn.M @ (vp - v) - dt * (tau + tau_c)
+
+        def residual(vp):
+            return residual_p(vp, force_params)
 
         if contact_iters == 0:
             # explicit contact evaluation at (q, v)
@@ -116,14 +119,14 @@ def multibody_step(
             # stiff contact solve, which is enough to wreck iLQR descent
             # directions (and IFT halves the trace: no second-order
             # nesting under the solver's jacfwd).
-            def newton_jac(vp):
+            def newton_jac(vp, params=force_params):
                 # Exact dresidual/dvp = M - dt * Jc' D Jc with the
                 # closed-form force Jacobian D — jacfwd of the residual
                 # re-traces the force path nv-wide per Newton iteration,
                 # which dominates the rollout scan's per-step latency.
                 v_rel = jnp.einsum("cin,n->ci", Jc, vp)
                 _, D = contact_forces_implicit(
-                    phi, normal, v_rel, K, d, mu, dt, force_params, K1=K1)
+                    phi, normal, v_rel, K, d, mu, dt, params, K1=K1)
                 # Two-stage contraction: E = D Jc per contact (tiny), then
                 # one well-shaped (nv, 3NC) @ (3NC, nv) matmul.  The fused
                 # triple einsum lowers to a ~3x-more-FLOPs dot with heavy
@@ -135,30 +138,41 @@ def multibody_step(
                 return dyn.M - dt * Jf.T @ Ef
 
             def newton(res_fn, v0):
-                # Damped Newton: a full step can overshoot through the
-                # stiff force profile during fast impacts (fn ~ K phi^2
+                # Damped Newton with stiction-regularization CONTINUATION
+                # (see forces.stiction_schedule): early iterations solve
+                # a softened friction model (stiction_vel inflated 4x per
+                # remaining iteration), annealing to the true width —
+                # the softened curve has no stiction knife-edge, so the
+                # iterate is guided into the basin without the tangential
+                # ping-pong that full Newton on the stiff curve produces
+                # (a light body held by several stiff contacts, e.g. a
+                # tilted box settling).  The schedule is STATIC (a python
+                # float per iteration): the map stays a fixed composition
+                # of smooth functions, so the scalar / lane-major /
+                # Pallas twins track each other at ulp level (any
+                # state-dependent step gate steep enough to resolve the
+                # stiction-vel scale was measured to amplify backend ulp
+                # differences into percent-level rollout divergence).
+                # A full step can still overshoot through the stiff
+                # normal-force profile during fast impacts (fn ~ K phi^2
                 # with K ~ 1e5) and inject energy; fall back to a half
-                # step whenever the full step's residual grew.  The step
-                # is additionally scaled so no contact's tangential
-                # velocity jumps across the stiction circle
-                # (forces.stiction_step_limit — TAMSI's anti-ping-pong).
+                # step whenever the full step's residual grew.
                 vp = v0
-                vs = force_params.stiction_vel
-                for _ in range(contact_iters):
-                    r = res_fn(vp)
-                    dv = solve_small(newton_jac(vp), r)
-                    v_rel = jnp.einsum("cin,n->ci", Jc, vp)
-                    dv_rel = -jnp.einsum("cin,n->ci", Jc, dv)
-                    alpha = stiction_step_limit(v_rel, dv_rel, normal, vs)
-                    vp1 = vp - alpha * dv
-                    r1 = res_fn(vp1)
+                for it, vs_eff in enumerate(
+                        stiction_schedule(force_params.stiction_vel,
+                                          contact_iters)):
+                    p_it = force_params._replace(stiction_vel=vs_eff)
+                    r = residual_p(vp, p_it)
+                    dv = solve_small(newton_jac(vp, p_it), r)
+                    vp1 = vp - dv
+                    r1 = residual_p(vp1, p_it)
                     # damp only on CLEAR overshoot (4x residual-norm^2,
                     # i.e. the norm doubled): impacts blow the residual
                     # up by orders of magnitude, while a knife-edge
                     # threshold flips on f32 reassociation noise between
                     # the scalar and lane-major step implementations.
                     grew = jnp.sum(r1 * r1) > 4.0 * jnp.sum(r * r)
-                    vp = jnp.where(grew, vp - (0.5 * alpha) * dv, vp1)
+                    vp = jnp.where(grew, vp - 0.5 * dv, vp1)
                 return vp
 
             def tangent_solve(g, y):

@@ -75,29 +75,36 @@ def implicit_contact_solve(M, v, tau, contacts, dt, iters, **force_kw):
     analytic one).
 
     contacts: list of (phi, normal (3,), Jc (3, nv), K, d, mu).
-    Newton rule per spec: full step unless the residual norm grows by
-    more than 2x, then half step.
+    Newton rule per spec (forces.stiction_schedule): stiction-
+    regularization continuation — iteration k solves the model with
+    stiction_vel inflated to min(max(vs, 0.05), vs * 4^(iters-1-k)),
+    annealing to the true width on the final iteration; full step
+    unless the residual norm grows by more than 2x, then half step.
     """
     nv = len(v)
+    vs = force_kw.get("stiction_vel", 1e-3)
 
-    def residual(vp):
+    def residual(vp, vs_eff):
+        kw = dict(force_kw, stiction_vel=vs_eff)
         tau_c = np.zeros(nv)
         for (phi, n, Jc, K, d, mu) in contacts:
-            f = contact_force_np(phi, n, Jc @ vp, K, d, mu, dt, **force_kw)
+            f = contact_force_np(phi, n, Jc @ vp, K, d, mu, dt, **kw)
             tau_c += Jc.T @ f
         return M @ (vp - v) - dt * (tau + tau_c)
 
     vp = v + dt * np.linalg.solve(M, tau)     # contact-free predictor
     h = 1e-7
-    for _ in range(iters):
-        r0 = residual(vp)
+    for it in range(iters):
+        vs_eff = min(max(vs, 5e-2), vs * 4.0 ** (iters - 1 - it))
+        r0 = residual(vp, vs_eff)
         G = np.zeros((nv, nv))
         for j in range(nv):
             e = np.zeros(nv)
             e[j] = h
-            G[:, j] = (residual(vp + e) - residual(vp - e)) / (2 * h)
+            G[:, j] = (residual(vp + e, vs_eff)
+                       - residual(vp - e, vs_eff)) / (2 * h)
         dv = np.linalg.solve(G, r0)
-        r1 = residual(vp - dv)
+        r1 = residual(vp - dv, vs_eff)
         if np.dot(r1, r1) > 4.0 * np.dot(r0, r0):
             vp = vp - 0.5 * dv
         else:

@@ -51,7 +51,9 @@ def test_cart_pole_with_wall_contact_sequence():
     from drake_ddp_tpu.examples import cart_pole_with_wall as ex
 
     states, inputs, t, cost = ex.run(ex.Config(verbose=False))
-    assert cost < 60.0
+    # golden pin (VERDICT item 9): seeded multistart is deterministic;
+    # recorded on CPU f32 at the continuation-Newton contact solve
+    assert cost == pytest.approx(5.7024, rel=0.02)
     # recovered near upright
     assert abs(states[1, -1] - np.pi) < 0.25
     # the ball actually touched the wall (tip reaches the contact surface)

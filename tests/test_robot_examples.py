@@ -115,3 +115,48 @@ def test_kinova_simulate_mode():
     # passive: no actuation -> the arm moved (gravity), ball z sane
     x0, _ = kg.scenario_states(cfg)
     assert not np.allclose(states[:, -1], x0, atol=1e-5)
+
+
+# -- full-scenario goldens + task-goal assertions (VERDICT item 9) ------
+#
+# These run the COMPLETE reference scenarios (T = 0.5, N = 50) through
+# the example entry points and pin converged cost + achieved ball motion.
+# Golden values recorded on CPU f32 at the example defaults
+# (contact_iters=8, delta=1e-5, smooth_width=1e-2 — see the kinova
+# Config docstring for why these differ from the reference's delta);
+# a >2% cost move means the physics or solver changed — update the pin
+# in the same commit and say why.
+
+
+def test_kinova_side_full_scenario_golden():
+    """Reference kinova_gen3.py 'side' task: push the ball 15 cm in +y.
+    The solve must actually move the ball most of the way (98% recorded),
+    not merely improve the cost."""
+    from drake_ddp_tpu.examples import kinova_gen3 as kg
+
+    cfg = dataclasses.replace(kg.Config(), scenario="side", verbose=False)
+    ilqr = kg.build_solver(cfg)
+    x, u, t, c = ilqr.Solve()
+    assert c == pytest.approx(1.1073, rel=0.02)
+    x0, x_nom = kg.scenario_states(cfg)
+    # ball displacement projected onto the commanded direction (+y)
+    dy = x[12, -1] - x0[12]
+    assert dy > 0.10                      # >2/3 of the 0.15 m target
+    assert abs(x[13, -1] - 0.1) < 0.03    # ball stays on the ground
+    assert float(x[13].min()) > 0.08      # never squashed into the ground
+
+
+def test_panda_side_full_scenario_golden():
+    """Reference panda_fr3.py 'side' task: cost pin + the ball moves
+    more than half of the 15 cm target sideways."""
+    from drake_ddp_tpu.examples import panda_fr3 as pf
+
+    cfg = dataclasses.replace(pf.Config(), scenario="side", verbose=False)
+    ilqr = pf.build_solver(cfg)
+    x, u, t, c = ilqr.Solve()
+    assert c == pytest.approx(3.1914, rel=0.02)
+    x0, x_nom = pf.scenario_states(cfg)
+    dy = x[12, -1] - x0[12]
+    assert dy > 0.09
+    assert abs(x[13, -1] - 0.1) < 0.03
+    assert float(x[13].min()) > 0.08
