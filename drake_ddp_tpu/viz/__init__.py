@@ -19,10 +19,11 @@ TPU-native equivalents here are likewise host-side and offline:
 
 from drake_ddp_tpu.viz.playback import (
     animate_matplotlib,
+    contact_force_frames,
     export_html,
     scene_frames,
 )
 from drake_ddp_tpu.viz.stream import MPCStream
 
-__all__ = ["MPCStream", "animate_matplotlib", "export_html",
-           "scene_frames"]
+__all__ = ["MPCStream", "animate_matplotlib", "contact_force_frames",
+           "export_html", "scene_frames"]

@@ -60,6 +60,51 @@ def scene_frames(model: MultibodyModel, contact: Optional[ContactModel],
     return {"centers": centers, "radii": radii, "names": names}
 
 
+def contact_force_frames(model: MultibodyModel, contact: ContactModel,
+                         states: np.ndarray, dt: float,
+                         force_params=None) -> dict:
+    """Per-frame contact points and world-frame force vectors.
+
+    The reference publishes contact results to the visualizer as force
+    arrows (ConnectContactResultsToDrakeVisualizer,
+    cart_pole_with_wall.py:118); the TPU-native equivalent re-evaluates
+    the same smooth force law at each saved state host-side (explicit,
+    at (q, v) — the playback analog of the plant's contact_iters=0
+    evaluation) and embeds the arrows in the HTML player.
+
+    Returns dict with 'points' (T, NC, 3) and 'forces' (T, NC, 3) —
+    forces on body A; inactive candidates have ~zero force.
+    """
+    from drake_ddp_tpu.contact.forces import (ContactForceParams,
+                                              contact_forces)
+    from drake_ddp_tpu.contact.geometry import narrowphase
+    from drake_ddp_tpu.multibody.plant import _contact_jacobians
+
+    force_params = force_params or ContactForceParams()
+    states = np.asarray(states)
+    if states.shape[0] == model.nq + model.nv:
+        states = states.T
+    xs = jnp.asarray(states, jnp.float32)
+    sph_body = jnp.asarray(contact.sph_body, jnp.int32)
+
+    def frame(x):
+        q, v = x[: model.nq], x[model.nq:]
+        kin = forward_kinematics(model, q)
+        centers = kin.p[sph_body] + jnp.einsum(
+            "cij,cj->ci", kin.R[sph_body], contact.sph_offset)
+        phi, normal, point, body_a, body_b, K, K1, d, mu = narrowphase(
+            contact, centers, body_R=kin.R, body_p=kin.p)
+        Jc = _contact_jacobians(model, kin, contact, body_a, body_b,
+                                point)
+        v_rel = jnp.einsum("cin,n->ci", Jc, v)
+        f = contact_forces(phi, normal, v_rel, K, d, mu, force_params,
+                           K1=K1)
+        return point, f
+
+    points, forces = jax.lax.map(jax.jit(frame), xs)
+    return {"points": np.asarray(points), "forces": np.asarray(forces)}
+
+
 _HTML_TEMPLATE = """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>drake_ddp_tpu playback</title>
 <style>
@@ -69,13 +114,14 @@ _HTML_TEMPLATE = """<!DOCTYPE html>
 </style></head>
 <body>
 <div id="hud">t = <span id="t">0</span> s &nbsp; (drag: rotate, wheel: zoom,
- space: pause)</div>
+ space: pause, f: toggle contact forces)</div>
 <canvas id="c"></canvas>
 <script>
 const DATA = {data};
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
-let yaw = 0.7, pitch = 0.35, zoom = {zoom}, paused = false, fi = 0;
+let yaw = 0.7, pitch = 0.35, zoom = {zoom}, paused = false, fi = 0,
+    showForces = true;
 function resize() {{ canvas.width = innerWidth; canvas.height = innerHeight; }}
 addEventListener('resize', resize); resize();
 let drag = null;
@@ -86,7 +132,8 @@ onmousemove = e => {{ if (drag) {{
   pitch = Math.max(-1.5, Math.min(1.5, pitch)); drag = [e.clientX, e.clientY];
 }} }};
 canvas.onwheel = e => {{ zoom *= Math.exp(-e.deltaY * 0.001); e.preventDefault(); }};
-onkeydown = e => {{ if (e.key === ' ') paused = !paused; }};
+onkeydown = e => {{ if (e.key === ' ') paused = !paused;
+                    if (e.key === 'f') showForces = !showForces; }};
 function project(p) {{
   const cy = Math.cos(yaw), sy = Math.sin(yaw);
   const cp = Math.cos(pitch), sp = Math.sin(pitch);
@@ -113,6 +160,23 @@ function draw() {{
     ctx.beginPath(); ctx.arc(pr[0], pr[1], r, 0, 6.283);
     ctx.fillStyle = `hsl(${{(i * 47) % 360}}, 60%, 55%)`; ctx.fill();
   }}
+  // contact-force arrows (red, length ~ force * fscale), if embedded
+  if (DATA.fpoints && showForces) {{
+    const pts = DATA.fpoints[fi], fs = DATA.forces[fi];
+    ctx.strokeStyle = '#e33'; ctx.fillStyle = '#e33'; ctx.lineWidth = 2;
+    for (let i = 0; i < pts.length; i++) {{
+      const mag = Math.hypot(fs[i][0], fs[i][1], fs[i][2]);
+      if (mag < DATA.fmin) continue;
+      const tip = [pts[i][0] + fs[i][0] * DATA.fscale,
+                   pts[i][1] + fs[i][1] * DATA.fscale,
+                   pts[i][2] + fs[i][2] * DATA.fscale];
+      const a = project(pts[i]), b = project(tip);
+      ctx.beginPath(); ctx.moveTo(a[0], a[1]); ctx.lineTo(b[0], b[1]);
+      ctx.stroke();
+      ctx.beginPath(); ctx.arc(b[0], b[1], 3, 0, 6.283); ctx.fill();
+    }}
+    ctx.lineWidth = 1;
+  }}
   document.getElementById('t').textContent = (fi * DATA.dt).toFixed(3);
   if (!paused) fi = (fi + 1) % DATA.centers.length;
 }}
@@ -124,11 +188,18 @@ setInterval(draw, 1000 * DATA.dt / DATA.rate);
 def export_html(path: str, model: MultibodyModel,
                 contact: Optional[ContactModel], states: np.ndarray,
                 dt: float, playback_rate: float = 1.0,
-                zoom: float = 400.0) -> str:
+                zoom: float = 400.0, show_forces: bool = False,
+                force_params=None, force_scale: float = 0.01,
+                force_min: float = 0.5) -> str:
     """Write a self-contained HTML player for a trajectory.
 
     ``playback_rate`` mirrors the reference's slowed playback
     (cart_pole_with_wall.py:24 playback_rate=0.2 etc.).
+    ``show_forces`` embeds contact-force arrows (the reference's
+    ConnectContactResultsToDrakeVisualizer display,
+    cart_pole_with_wall.py:118): red arrows of length
+    ``force_scale`` m/N at every contact above ``force_min`` N,
+    toggled with the 'f' key.
     """
     sc = scene_frames(model, contact, states)
     data = {
@@ -137,6 +208,13 @@ def export_html(path: str, model: MultibodyModel,
         "dt": dt,
         "rate": playback_rate,
     }
+    if show_forces and contact is not None:
+        ff = contact_force_frames(model, contact, states, dt,
+                                  force_params=force_params)
+        data["fpoints"] = np.round(ff["points"], 5).tolist()
+        data["forces"] = np.round(ff["forces"], 3).tolist()
+        data["fscale"] = force_scale
+        data["fmin"] = force_min
     html = _HTML_TEMPLATE.format(data=json.dumps(data), zoom=zoom)
     with open(path, "w") as f:
         f.write(html)

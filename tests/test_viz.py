@@ -68,3 +68,34 @@ def test_mpc_stream_export(tmp_path):
     html = open(path).read()
     assert "ghosts" in html and "resolve" in html
     assert len(html) > 1000
+
+
+def test_contact_force_frames_and_arrows(tmp_path):
+    """Contact-force display (reference cart_pole_with_wall.py:118
+    ConnectContactResultsToDrakeVisualizer): a pole tip pressed into the
+    wall produces a force pushing it back (+x, wall at -x), embedded in
+    the HTML as arrow data."""
+    from drake_ddp_tpu.viz import contact_force_frames, export_html
+
+    sys = _wall_system()
+    model, cm = sys.params
+    n = model.nq + model.nv
+    T = 3
+    states = np.zeros((T, n), np.float32)
+    # swing the pole into the wall: tip x = x + 0.5 sin(th); wall face
+    # at -0.45, tip radius 0.05 -> contact at tip x <= -0.4
+    states[:, 0] = 0.0
+    states[:, 1] = -0.95  # theta from hanging-down
+    ff = contact_force_frames(model, cm, states, dt=sys.dt)
+    NC = ff["forces"].shape[1]
+    assert ff["points"].shape == (T, NC, 3)
+    mags = np.linalg.norm(ff["forces"], axis=2)
+    assert mags.max() > 1.0, mags.max()       # real contact force
+    # the wall pushes the tip back toward +x
+    strongest = np.unravel_index(np.argmax(mags), mags.shape)
+    assert ff["forces"][strongest][0] > 0.0
+
+    path = export_html(str(tmp_path / "forces.html"), model, cm, states,
+                       dt=sys.dt, show_forces=True)
+    html = open(path).read()
+    assert "fpoints" in html and "toggle contact forces" in html
