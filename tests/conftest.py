@@ -21,3 +21,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # float64 available for golden-data mirrors; f32 arrays stay f32.
 jax.config.update("jax_enable_x64", True)
+# The suite is compile-dominated (the heavy pins compile the full
+# batched solver); persist compiled executables so repeat runs on this
+# checkout skip the multi-minute compiles.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:
+    pass
