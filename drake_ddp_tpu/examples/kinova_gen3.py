@@ -63,7 +63,9 @@ class Config:
     # while it closes that gap) which delta=1e-3 mistakes for
     # convergence — the solve then stalls at cost ~5 with the ball
     # unmoved.  delta=1e-5 grinds through the plateau and breaks
-    # through to cost ~1.1 with the ball 98% of the way to the target.
+    # through: side reaches cost ~1.1 with the ball 98% of the way to
+    # the target, forward rolls it 18 of 20 cm, lift raises it 13.5 of
+    # 20 cm (CPU f32, tests/test_robot_examples.py pins side).
     delta: float = 1e-5
     gamma: float = 0.0
     # contact (kinova_gen3.py:90-99)

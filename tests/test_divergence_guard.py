@@ -1,0 +1,69 @@
+"""Batched cold-start divergence-rate guard (BASELINE/VERDICT: the
+flagship bench must keep mean_diverged_fraction < 1%).
+
+Round-1 bench measured 5.9% of lanes diverging from noisy cold starts;
+the stiction-continuation Newton (forces.stiction_schedule) brought the
+measured rate to 0.7% at batch 48 x 6 resolves on CPU
+(tools/probe_divergence.py).  This guard reproduces the bench's exact
+problem (noisy standing starts, warm-started resolves, same keypoint/
+solver config) at a CI-sized batch and bounds the rate: statistically,
+at p ~ 0.007 per lane-resolve, 64 lane-resolves should see ~0.5
+divergences — 3+ events or a cost blow-up means the cold-start
+robustness regressed.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from drake_ddp_tpu.examples import mini_cheetah as mc
+from drake_ddp_tpu.mpc.driver import MPCConfig, mpc_solve_batched
+from drake_ddp_tpu.solver import keypoints as kp
+from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
+
+BATCH = 16
+RESOLVES = 3
+
+
+def test_cold_start_divergence_rate_bounded():
+    cfg = mc.Config()
+    system, _ = mc.build_system(cfg)
+    N = int(cfg.T / cfg.dt)
+    Q, R, Qf = mc.costs(cfg)
+    x0, x_nom = mc.initial_and_target(cfg)
+    rs = cfg.replan_steps
+    derivs = kp.DerivsInterpolation("setInterval", minN=8,
+                                    max_keypoints=8, jac_chunk=8)
+    scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
+                      max_iters=12, derivs=derivs, ls_parallel=4)
+    mpcc = MPCConfig(num_resolves=RESOLVES, replan_steps=rs)
+    shift = jnp.zeros(37, jnp.float32).at[4].set(
+        cfg.target_vel * cfg.dt * rs)
+
+    # bench.py's exact cold-start distribution: 0.05 joint-velocity noise
+    key = jax.random.PRNGKey(0)
+    x0b = jnp.tile(jnp.asarray(x0, jnp.float32), (BATCH, 1))
+    x0b = x0b.at[:, 19:].add(
+        0.05 * jax.random.normal(key, (BATCH, 18)))
+    tile = lambda a: jnp.tile(jnp.asarray(a, jnp.float32), (BATCH, 1, 1))
+    probs = ILQRProblem(
+        x0=x0b,
+        x_nom=jnp.tile(jnp.asarray(x_nom, jnp.float32), (BATCH, 1)),
+        Q=tile(cfg.dt * Q), R=tile(cfg.dt * R), Qf=tile(Qf),
+        u_init=jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32),
+                        (BATCH, N - 1, 1)),
+    )
+
+    res = jax.jit(lambda p: mpc_solve_batched(system, scfg, p, mpcc,
+                                              shift))(probs)
+    div = np.asarray(res.diverged)
+    costs = np.asarray(res.costs)
+    events = int(div.sum())
+    assert events <= 2, (events, np.argwhere(div))
+    # the batch median chain is healthy (a systemic regression pushes
+    # most lanes to fallen-chain costs of 1e2+)
+    assert np.median(costs[np.isfinite(costs)]) < 20.0
+    # no silent blow-up without the diverged flag (the round-1 failure
+    # mode: costs -> 1e20 while diverged stays False)
+    bad = (costs > 1e6) & ~div
+    assert bad.mean() <= 2.0 / div.size, np.argwhere(bad)
