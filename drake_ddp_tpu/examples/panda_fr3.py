@@ -49,7 +49,10 @@ class Config:
     beta: float = 0.5
     # reference delta=1e-3 (panda_fr3.py:218) mistakes the smooth-
     # contact approach plateau for convergence; see the kinova Config
-    # for the full account of these three solver/contact defaults
+    # for the full account of these three solver/contact defaults.
+    # With them (CPU f32): side moves the ball 11 of 15 cm (cost 3.19,
+    # pinned in tests/test_robot_examples.py), forward rolls it
+    # 19.9 of 20 cm (cost 1.53).
     delta: float = 1e-5
     gamma: float = 0.0
     # contact (panda_fr3.py:77-83)
