@@ -25,7 +25,32 @@ NUM_CHUNKS = 20         # can trip the axon tunnel's watchdog); 20 x 5 =
 JAC_CHUNK = 8
 
 
+def _check_device_reachable(timeout_s: float = 150.0):
+    """Fail fast with a clear message when the TPU tunnel is down.
+
+    A dead axon tunnel makes ``jax.devices()`` block forever inside
+    backend init (no timeout surface in-process), so probe it in a
+    child process first.
+    """
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        if r.returncode == 0:
+            return
+        msg = r.stderr.decode(errors="replace")[-500:]
+    except subprocess.TimeoutExpired:
+        msg = f"device enumeration hung > {timeout_s:.0f} s"
+    print("bench: TPU backend unreachable (axon tunnel down?): " + msg,
+          file=sys.stderr, flush=True)
+    sys.exit(3)
+
+
 def main():
+    _check_device_reachable()
     import jax
 
     # persistent compilation cache: the solver compile is ~4 min through
