@@ -200,6 +200,203 @@ def profiled_solve(
     return sol, times
 
 
+def profiled_solve_batched(
+    system: DiscreteSystem,
+    cfg: ILQRConfig,
+    prob: ILQRProblem,
+    rollout_kernel: str = "auto",
+    deriv_kernel: str = "auto",
+):
+    """Host-stepped twin of :func:`solver.batched.solve_ilqr_batched`
+    with per-phase device timing — THE tool for attributing iteration
+    time at production batch on real hardware (e.g. the "derivative
+    time < 25% of iteration" perf criterion): each phase (batched
+    linesearch incl. the Pallas rollout kernels, Jacobian stack,
+    Riccati sweeps) is a separately-jitted, blocked-on device call.
+
+    Returns ``(ILQRSolution, PhaseTimes)``.  Semantics pinned to the
+    fused batched solver by tests/test_aux.py.
+    """
+    from functools import partial
+
+    from drake_ddp_tpu.solver import keypoints as kp
+    from drake_ddp_tpu.solver.batched import (
+        _fused_rollout_for,
+        _lane_step_for,
+        _linesearch_batched,
+        _vary_like,
+    )
+
+    cfg.derivs.validate()
+    step = system.bound_step()
+    N = cfg.num_steps
+    fused = _fused_rollout_for(system, rollout_kernel, N)
+    step_T = _lane_step_for(system, "lane" if fused is not None
+                            else rollout_kernel)
+    B, n = prob.x0.shape
+    m = prob.u_init.shape[-1]
+    dtype = prob.x0.dtype
+
+    jac_T = (system.lane_jac_fn if deriv_kernel in ("auto", "lane")
+             else None)
+    if deriv_kernel == "lane" and jac_T is None:
+        raise ValueError("system provides no lane_jac_fn")
+    if jac_T is not None:
+        derivs_fn = partial(kp.compute_derivatives_batched, jac_T,
+                            cfg.derivs)
+    else:
+        derivs_fn = jax.vmap(partial(kp.compute_derivatives, step,
+                                     cfg.derivs))
+    from drake_ddp_tpu.solver.ilqr import _backward_pass
+
+    if cfg.parallel_backward:
+        from drake_ddp_tpu.solver.parscan import parallel_backward_pass
+
+        bp_one = lambda p, x, u, fx, fu, reg: parallel_backward_pass(
+            cfg, p, x, u, fx, fu, reg=reg)
+    else:
+        bp_one = lambda p, x, u, fx, fu, reg: _backward_pass(
+            cfg, p, x, u, fx, fu, reg=reg)
+    bp_fn = jax.vmap(bp_one)
+    adaptive = cfg.reg > 0.0
+
+    ls_jit = jax.jit(lambda p, s: _linesearch_batched(step_T, cfg, p, s,
+                                                      fused=fused))
+    dv_jit = jax.jit(derivs_fn)
+    bp_jit = jax.jit(bp_fn)
+
+    def update(prob, state, ls_out, fx_new, fu_new, pct, kappa, K, dV,
+               active):
+        # bookkeeping of batched.forward_and_backward + the while-body
+        # lane masking, verbatim
+        eps, x, u, L_new, imp, ls_iters, failed = ls_out
+        selb = lambda flag, a, b: jnp.where(
+            flag.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
+        x_use = selb(failed, state.x_bar, x)
+        u_use = selb(failed, state.u_bar, u)
+        L_use = jnp.where(failed, state.L, L_new)
+        if adaptive:
+            reg_new = jnp.where(
+                failed,
+                state.reg * cfg.reg_mult,
+                jnp.maximum(state.reg / cfg.reg_mult, cfg.reg),
+            )
+        else:
+            reg_new = state.reg
+        at_optimum = (jnp.sum(state.dV_coeff, axis=1) <= cfg.delta) & (
+            state.iteration > 0)
+        exhausted = jnp.asarray(
+            not adaptive) | (state.reg >= cfg.reg_max) | at_optimum
+        retry = failed & ~exhausted
+        diverged = failed & exhausted & ~at_optimum
+        fx = selb(failed, state.fx, fx_new)
+        fu = selb(failed, state.fu, fu_new)
+        percent = jnp.where(failed, jnp.zeros_like(pct), pct)
+        it = state.iteration
+        put = lambda tab, v: tab.at[jnp.arange(B), it].set(v)
+        stats = ILQRStats(
+            cost=put(state.stats.cost, L_use),
+            eps=put(state.stats.eps,
+                    jnp.where(failed, jnp.zeros_like(eps), eps)),
+            ls_iters=put(state.stats.ls_iters, ls_iters),
+            percent_derivs=put(state.stats.percent_derivs, percent),
+        )
+        improvement = jnp.where(failed, jnp.asarray(0.0, dtype), imp)
+        new = _LoopState(
+            x_bar=x_use, u_bar=u_use, fx=fx, fu=fu, kappa=kappa, K=K,
+            dV_coeff=dV, L=L_use, improvement=improvement,
+            iteration=it + 1, reg=reg_new, retry=retry,
+            diverged=diverged, stats=stats,
+        )
+        sel = lambda a, b: jnp.where(
+            active.reshape((B,) + (1,) * (a.ndim - 1)), a, b) \
+            if a.ndim else jnp.where(active, a, b)
+        return jax.tree_util.tree_map(sel, new, state)
+
+    update_jit = jax.jit(update)
+
+    def lane_cond(state):
+        return (
+            ((state.improvement > cfg.delta) | state.retry)
+            & (state.iteration < cfg.max_iters)
+            & ~state.diverged
+        )
+
+    stats0 = ILQRStats(
+        cost=jnp.zeros((B, cfg.max_iters), dtype),
+        eps=jnp.zeros((B, cfg.max_iters), dtype),
+        ls_iters=jnp.zeros((B, cfg.max_iters), jnp.int32),
+        percent_derivs=jnp.zeros((B, cfg.max_iters), dtype),
+    )
+    state = _vary_like(_LoopState(
+        x_bar=jnp.zeros((B, N, n), dtype),
+        u_bar=prob.u_init.astype(dtype),
+        fx=jnp.zeros((B, N - 1, n, n), dtype),
+        fu=jnp.zeros((B, N - 1, n, m), dtype),
+        kappa=jnp.zeros((B, N - 1, m), dtype),
+        K=jnp.zeros((B, N - 1, m, n), dtype),
+        dV_coeff=jnp.zeros((B, N - 1), dtype),
+        L=jnp.full((B,), jnp.inf, dtype),
+        improvement=jnp.full((B,), jnp.inf, dtype),
+        iteration=jnp.zeros((B,), jnp.int32),
+        reg=jnp.full((B,), cfg.reg, dtype),
+        retry=jnp.zeros((B,), bool),
+        diverged=jnp.zeros((B,), bool),
+        stats=stats0,
+    ), prob.x0)
+
+    # warm all executables (compile excluded from timings)
+    ls0 = jax.block_until_ready(ls_jit(prob, state))
+    d0 = jax.block_until_ready(dv_jit(state.x_bar, state.u_bar))
+    b0 = jax.block_until_ready(
+        bp_jit(prob, state.x_bar, state.u_bar, state.fx, state.fu,
+               state.reg))
+    jax.block_until_ready(update_jit(
+        prob, state, ls0, d0[0], d0[1], d0[2], b0[0], b0[1], b0[2],
+        jnp.zeros((B,), bool)))
+
+    times = PhaseTimes([], [], [])
+
+    def timed(bucket, fn, *args):
+        st = time.perf_counter()
+        out = jax.block_until_ready(fn(*args))
+        bucket.append(time.perf_counter() - st)
+        return out
+
+    while bool(jnp.any(lane_cond(state))):
+        active = lane_cond(state)
+        ls_out = timed(times.forward, ls_jit, prob, state)
+        fx_new, fu_new, pct = timed(times.derivs, dv_jit,
+                                    jnp.where(ls_out[6][:, None, None],
+                                              state.x_bar, ls_out[1]),
+                                    jnp.where(ls_out[6][:, None, None],
+                                              state.u_bar, ls_out[2]))
+        # backward pass inputs must match the fused solver: reg_new and
+        # masked trajectories; recompute cheaply here (untimed jnp)
+        failed = ls_out[6]
+        x_use = jnp.where(failed[:, None, None], state.x_bar, ls_out[1])
+        u_use = jnp.where(failed[:, None, None], state.u_bar, ls_out[2])
+        if adaptive:
+            reg_new = jnp.where(
+                failed, state.reg * cfg.reg_mult,
+                jnp.maximum(state.reg / cfg.reg_mult, cfg.reg))
+        else:
+            reg_new = state.reg
+        fx = jnp.where(failed[:, None, None, None], state.fx, fx_new)
+        fu = jnp.where(failed[:, None, None, None], state.fu, fu_new)
+        kappa, K, dV = timed(times.backward, bp_jit, prob, x_use, u_use,
+                             fx, fu, reg_new)
+        state = update_jit(prob, state, ls_out, fx_new, fu_new, pct,
+                           kappa, K, dV, active)
+
+    sol = ILQRSolution(
+        x=state.x_bar, u=state.u_bar, K=state.K, kappa=state.kappa,
+        cost=state.L, iterations=state.iteration,
+        diverged=state.diverged, stats=state.stats,
+    )
+    return sol, times
+
+
 def format_phase_table(sol: ILQRSolution, times: PhaseTimes) -> str:
     """Reference-style iteration table WITH the per-phase timing columns
     (reference ilqr.py:685-704: iter/cost/eps/ls/time_fp/time_derivs/

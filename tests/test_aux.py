@@ -85,3 +85,44 @@ def test_profiled_solve_matches_fused():
     table = format_phase_table(sol, times)
     assert "time_fp" in table and "time_derivs" in table
     assert "phase totals" in table
+
+
+def test_profiled_solve_batched_matches_fused():
+    """The batched per-phase profiler (solver/profile.py — used to
+    attribute iteration time at production batch on TPU) matches the
+    fused batched solver exactly on the wall task."""
+    import jax
+
+    from drake_ddp_tpu.examples import cart_pole_with_wall as ex
+    from drake_ddp_tpu.solver.batched import solve_ilqr_batched
+    from drake_ddp_tpu.solver.ilqr import ILQRConfig
+    from drake_ddp_tpu.solver.profile import profiled_solve_batched
+
+    system = ex.build_system(ex.Config())
+    N, B = 40, 4
+    dt = 1e-2
+    rng = np.random.default_rng(0)
+    x0b = np.tile([0.0, np.pi + 0.5, 0.0, 0.0], (B, 1)).astype(np.float32)
+    x0b += 0.01 * rng.standard_normal(x0b.shape).astype(np.float32)
+    tile = lambda a: jnp.tile(jnp.asarray(a, jnp.float32)[None],
+                              (B, 1, 1))
+    prob = ILQRProblem(
+        x0=jnp.asarray(x0b),
+        x_nom=jnp.tile(jnp.asarray([0.0, np.pi, 0.0, 0.0], jnp.float32),
+                       (B, 1)),
+        Q=tile(dt * np.diag([0.1, 1.0, 0.01, 0.01])),
+        R=tile(dt * 0.001 * np.eye(1)),
+        Qf=tile(np.diag([200.0, 200.0, 10.0, 10.0])),
+        u_init=jnp.zeros((B, N - 1, 1), jnp.float32),
+    )
+    cfg = ILQRConfig(num_steps=N, beta=0.5, max_iters=8)
+    ref = jax.jit(lambda p: solve_ilqr_batched(system, cfg, p))(prob)
+    sol, times = profiled_solve_batched(system, cfg, prob)
+    np.testing.assert_array_equal(np.asarray(ref.iterations),
+                                  np.asarray(sol.iterations))
+    np.testing.assert_allclose(np.asarray(ref.cost),
+                               np.asarray(sol.cost), rtol=1e-4)
+    maxit = int(np.asarray(sol.iterations).max())
+    assert len(times.forward) == maxit
+    assert len(times.derivs) == maxit
+    assert len(times.backward) == maxit
