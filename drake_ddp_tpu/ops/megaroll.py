@@ -16,9 +16,14 @@ the reference linesearch rollout (reference ilqr.py:312-316):
 
     u_t = u_bar_t - eps * kappa_t - K_t (x_t - x_bar_t)
 
-VMEM budget per tile (flagship: n=37, m=12, N=50, block_b=64):
-K tape (49,12,37,64) f32 ~= 5.6 MB, other tapes ~1 MB, step working set
-~3 MB — inside the ~16 MB/core budget; shrink block_b for bigger scenes.
+VMEM budget per tile (flagship: n=37, m=12, N=50, block_b=128): the K
+tape would be ~12 MB against the ~16 MB/core budget, so it stays whole
+in HBM and the per-step (m, n, block_b) slice is double-buffered in
+(the t+1 DMA overlaps the step-t contact solve).  The remaining tapes
+(u_bar/kappa/x_bar ~2 MB) + trajectory outputs (~1.4 MB) + step working
+set (~6 MB) live in VMEM.  Mosaic requires the last block dim to be a
+multiple of 128 (or the full array dim), so block_b must be a multiple
+of 128 on hardware.
 """
 
 from __future__ import annotations
@@ -42,7 +47,7 @@ def make_pallas_rollout(
     num_steps: int,
     contact_iters: int = 2,
     force_params: ContactForceParams = ContactForceParams(),
-    block_b: int = 64,
+    block_b: int = 128,
     interpret: bool = False,
 ) -> Callable:
     """Build the fused rollout:
@@ -78,29 +83,54 @@ def make_pallas_rollout(
     consts2d = [jnp.asarray(c).reshape(1, -1) if c.ndim < 2 else
                 jnp.asarray(c) for c in consts]
 
-    def kernel(x0_ref, eps_ref, ub_ref, kap_ref, K_ref, xb_ref,
+    def kernel(x0_ref, eps_ref, ub_ref, kap_ref, K_hbm, xb_ref,
                *refs):
         const_refs = refs[:-2]
         xs_ref, us_ref = refs[-2:]
         cs = [r[:].reshape(s) for r, s in zip(const_refs, const_shapes)]
         eps = eps_ref[0]                                  # (block_b,)
+        col0 = pl.program_id(0) * block_b
 
-        def body(t, x):
-            ub = ub_ref[t]                                # (m_in, blk)
-            kap = kap_ref[t]
-            xb = xb_ref[t]                                # (n, blk)
-            dx = x - xb
-            Kt = K_ref[t]                                 # (m_in, n, blk)
-            Kdx = jnp.sum(Kt * dx[None], axis=1)          # (m_in, blk)
-            u = ub - eps[None] * kap - Kdx
-            # the traced jaxpr takes the (m_in, blk) input and slices to
-            # zero width internally when m == 0
-            x_next = closed_step(x, u, cs)
-            xs_ref[t] = x_next
-            us_ref[t] = u
-            return x_next
+        # The K tape is the one VMEM-budget breaker ((T, m, n, blk) f32
+        # at the flagship is ~12 MB against the ~16 MB/core budget), so
+        # it stays whole in HBM (memory_space ANY) and the per-step
+        # (m, n, blk) slice is double-buffered in: the t+1 DMA overlaps
+        # the step-t contact solve.
+        def scoped(kbuf, ksem):
+            def k_dma(slot, t):
+                return pltpu.make_async_copy(
+                    K_hbm.at[t, :, :, pl.ds(col0, block_b)],
+                    kbuf.at[slot], ksem.at[slot])
 
-        jax.lax.fori_loop(0, T, body, x0_ref[:])
+            k_dma(0, 0).start()
+
+            def body(t, x):
+                slot = jax.lax.rem(t, 2)
+
+                @pl.when(t + 1 < T)
+                def _():
+                    k_dma(jax.lax.rem(t + 1, 2), t + 1).start()
+
+                k_dma(slot, t).wait()
+                ub = ub_ref[t]                            # (m_in, blk)
+                kap = kap_ref[t]
+                xb = xb_ref[t]                            # (n, blk)
+                dx = x - xb
+                Kdx = jnp.sum(kbuf[slot] * dx[None], axis=1)
+                u = ub - eps[None] * kap - Kdx            # (m_in, blk)
+                # the traced jaxpr takes the (m_in, blk) input and
+                # slices to zero width internally when m == 0
+                x_next = closed_step(x, u, cs)
+                xs_ref[t] = x_next
+                us_ref[t] = u
+                return x_next
+
+            jax.lax.fori_loop(0, T, body, x0_ref[:])
+
+        pl.run_scoped(
+            scoped,
+            kbuf=pltpu.VMEM((2, m_in, n, block_b), jnp.float32),
+            ksem=pltpu.SemaphoreType.DMA((2,)))
 
     @jax.jit
     def rollout(x0, eps, u_bar, kappa, K, x_bar):
@@ -130,7 +160,7 @@ def make_pallas_rollout(
                 tile((1, block_b)),
                 tile((T, m_in, block_b)),
                 tile((T, m_in, block_b)),
-                tile((T, m_in, n, block_b)),
+                pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
                 tile((T, n, block_b)),
             ] + rep,
             out_specs=(tile((T, n, block_b)), tile((T, m_in, block_b))),
@@ -147,7 +177,7 @@ def make_pallas_rollout(
     return rollout
 
 
-def pallas_rollout_for_system(system, num_steps: int, block_b: int = 64,
+def pallas_rollout_for_system(system, num_steps: int, block_b: int = 128,
                               interpret: bool = False):
     """Build the fused rollout from a multibody DiscreteSystem (None for
     systems without one)."""

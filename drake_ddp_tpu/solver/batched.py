@@ -82,7 +82,7 @@ def _lane_step_for(system: DiscreteSystem, rollout_kernel: str,
 
 
 def _fused_rollout_for(system: DiscreteSystem, rollout_kernel: str,
-                       num_steps: int, block_b: int = 64):
+                       num_steps: int, block_b: int = 128):
     """The fused whole-horizon Pallas rollout (ops/megaroll.py), when
     available — one kernel per linesearch chunk instead of N-1 per-step
     launches.  None = use the per-step scan path."""
