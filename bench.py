@@ -64,6 +64,7 @@ def main():
     import jax.numpy as jnp
 
     from drake_ddp_tpu.examples import mini_cheetah as mc
+    from drake_ddp_tpu.solver import batched
     from drake_ddp_tpu.mpc.driver import (MPCConfig, mpc_solve_batched,
                                           shift_warm_start_batched)
     from drake_ddp_tpu.solver import keypoints as kp
@@ -156,6 +157,12 @@ def main():
             "measured_resolves_per_run": total_resolves,
             "mean_diverged_fraction": round(diverged / NUM_CHUNKS, 4),
             "device": str(jax.devices()[0]),
+            # which rollout kernel the batched solver actually selected
+            # (the 'auto' path preflight-compiles the fused Pallas kernel
+            # and degrades on failure instead of crashing the bench)
+            "rollout_kernel": batched.KERNEL_SELECTION["rollout"],
+            "kernel_fallback_reason":
+                batched.KERNEL_SELECTION["fallback_reason"],
         },
     }
     print(json.dumps(result))

@@ -31,6 +31,11 @@ class Config:
     replan_steps: int = 2
     max_iters: int = 100
     verbose: bool = True
+    # N=750 is the longest horizon in the reference suite — the
+    # associative-scan Riccati (solver/parscan.py, O(log N) depth) wins
+    # here, while short-horizon tasks keep the sequential sweep
+    # (equivalence pinned by tests/test_robot_examples.py)
+    parallel_backward: bool = True
 
 
 def build_system(cfg: Config):
@@ -55,6 +60,7 @@ def run(cfg: Config = Config()):
         ilqr = IterativeLinearQuadraticRegulator(
             system, num_steps, beta=cfg.beta, verbose=cfg.verbose,
             max_iters=cfg.max_iters,
+            parallel_backward=cfg.parallel_backward,
         )
         ilqr.SetInitialState(np.zeros(4))
         ilqr.SetTargetState(np.array([np.pi, 0.0, 0.0, 0.0]))
@@ -73,6 +79,7 @@ def run(cfg: Config = Config()):
     # MPC mode: one compiled scan over resolves.
     solver_cfg = ILQRConfig(
         num_steps=num_steps, beta=cfg.beta, max_iters=cfg.max_iters,
+        parallel_backward=cfg.parallel_backward,
     )
     prob = ILQRProblem(
         x0=jnp.zeros(4, jnp.float32),

@@ -18,12 +18,28 @@ the reference linesearch rollout (reference ilqr.py:312-316):
 
 VMEM budget per tile (flagship: n=37, m=12, N=50, block_b=128): the K
 tape would be ~12 MB against the ~16 MB/core budget, so it stays whole
-in HBM and the per-step (m, n, block_b) slice is double-buffered in
+in HBM and the per-step (m, n_pad, block_b) slice is double-buffered in
 (the t+1 DMA overlaps the step-t contact solve).  The remaining tapes
 (u_bar/kappa/x_bar ~2 MB) + trajectory outputs (~1.4 MB) + step working
-set (~6 MB) live in VMEM.  Mosaic requires the last block dim to be a
-multiple of 128 (or the full array dim), so block_b must be a multiple
-of 128 on hardware.
+set (~6 MB) live in VMEM.
+
+Mosaic tiling-legality constraints (f32 memrefs are (8, 128)-tiled on
+the last two dims; violating either fails *hardware* compilation while
+interpret mode passes — exactly the r02 regression, BENCH_r02.json):
+
+- block_b must be a multiple of 128 (lane tile) — it is both the DMA
+  slice size and offset stride of K's minor dim.  Padding a small batch
+  up to 128 lanes costs nothing extra: the VPU processes 8x128-lane
+  registers regardless, so sub-128 batches burn the same cycles either
+  way.
+- every manually-DMA'd slice of the K tape must be tile-aligned on the
+  last two dims: its n (second-minor) extent is therefore padded
+  host-side to a multiple of 8 (zeros; the kernel slices the VMEM
+  buffer back to n).  r02 shipped the unpadded n=37 slice and died with
+  "Slice shape along dimension 2 must be aligned to tiling (8)".
+
+Both constraints are asserted at build time (``_assert_k_dma_legal``)
+so an illegal configuration fails in CI, not on the flagship bench.
 """
 
 from __future__ import annotations
@@ -38,6 +54,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from drake_ddp_tpu.contact.forces import ContactForceParams
 from drake_ddp_tpu.multibody.lanestep import make_lane_step
+
+# f32 memref tile on TPU: (sublane, lane) = (8, 128) over the last two dims
+_SUBLANE, _LANE = 8, 128
+
+
+def _assert_k_dma_legal(T, m_in, n_pad, block_b, interpret):
+    """Static Mosaic-legality check for the K-tape HBM DMA.
+
+    The kernel slices ``K_hbm[t, :, :, col0:col0+block_b]`` out of a
+    (T, m_in, n_pad, B) f32 HBM memref.  Mosaic requires the slice's
+    extent and offset on each of the two tiled (trailing) dims to be
+    tile-aligned.  Checked here at build time so that a violation fails
+    unit tests / kernel construction instead of the flagship bench
+    (the r02 failure mode).  Interpret mode is exempt from the lane
+    constraint (CPU interpret honors any block_b; tests use 8) but NOT
+    from the sublane one, so shape regressions still surface in CI.
+    """
+    if n_pad % _SUBLANE != 0:
+        raise ValueError(
+            f"K DMA slice second-minor extent {n_pad} not a multiple of "
+            f"the f32 sublane tile {_SUBLANE}; pad the n dim host-side")
+    if not interpret and block_b % _LANE != 0:
+        raise ValueError(
+            f"block_b={block_b} must be a multiple of the lane tile "
+            f"{_LANE} on hardware: it is the K DMA slice extent and "
+            f"offset stride on the minor dim")
 
 
 def make_pallas_rollout(
@@ -56,12 +98,17 @@ def make_pallas_rollout(
          K (N-1, m, n, B), x_bar (N-1, n, B)) -> (xs (N-1, n, B),
                                                   us (N-1, m, B))
 
-    ``xs[t]`` is the state AFTER step t (x0 is not repeated).  B must be
-    a multiple of ``block_b``.
+    ``xs[t]`` is the state AFTER step t (x0 is not repeated).  Any B is
+    accepted: the wrapper zero-pads the batch up to a multiple of
+    ``block_b`` and slices the outputs back (dead lanes are free on the
+    VPU — see module docstring).
     """
     n = model.nq + model.nv
     m = model.nu
     T = num_steps - 1
+    # K's n extent is padded to the f32 sublane tile so the per-step HBM
+    # DMA slice is Mosaic tiling-legal (see module docstring / r02 bug)
+    n_pad = -(-n // _SUBLANE) * _SUBLANE
     step_T = make_lane_step(model, contact, dt,
                             contact_iters=contact_iters,
                             force_params=force_params)
@@ -116,7 +163,9 @@ def make_pallas_rollout(
                 kap = kap_ref[t]
                 xb = xb_ref[t]                            # (n, blk)
                 dx = x - xb
-                Kdx = jnp.sum(kbuf[slot] * dx[None], axis=1)
+                # kbuf is (m_in, n_pad, blk); drop the zero-padded tail
+                # of the n dim (value-level slice — tile-legal)
+                Kdx = jnp.sum(kbuf[slot][:, :n, :] * dx[None], axis=1)
                 u = ub - eps[None] * kap - Kdx            # (m_in, blk)
                 # the traced jaxpr takes the (m_in, blk) input and
                 # slices to zero width internally when m == 0
@@ -129,8 +178,10 @@ def make_pallas_rollout(
 
         pl.run_scoped(
             scoped,
-            kbuf=pltpu.VMEM((2, m_in, n, block_b), jnp.float32),
+            kbuf=pltpu.VMEM((2, m_in, n_pad, block_b), jnp.float32),
             ksem=pltpu.SemaphoreType.DMA((2,)))
+
+    _assert_k_dma_legal(T, m_in, n_pad, block_b, interpret)
 
     @jax.jit
     def rollout(x0, eps, u_bar, kappa, K, x_bar):
@@ -146,6 +197,12 @@ def make_pallas_rollout(
             z = jnp.zeros((T, 1, B), x0.dtype)
             u_bar, kappa = z, z
             K = jnp.zeros((T, 1, n, B), x0.dtype)
+        if n_pad != n:
+            # zero-pad K's n dim to the sublane tile: keeps the manual
+            # HBM DMA slice tile-aligned (the kernel reads back [:, :n])
+            K = jnp.concatenate(
+                [K, jnp.zeros(K.shape[:2] + (n_pad - n, B), K.dtype)],
+                axis=2)
         grid = (B // block_b,)
         rep = [pl.BlockSpec(c.shape, lambda i, nd=c.ndim: (0,) * nd,
                             memory_space=pltpu.VMEM) for c in consts2d]

@@ -59,6 +59,7 @@ class IterativeLinearQuadraticRegulator:
         reg: Optional[float] = None,
         verbose: bool = True,
         raise_on_divergence: bool = True,
+        parallel_backward: bool = False,
         dtype=None,
     ):
         self.system = system
@@ -75,6 +76,10 @@ class IterativeLinearQuadraticRegulator:
             # None -> ILQRConfig's adaptive-regularization default
             **({} if reg is None else dict(reg=float(reg))),
             derivs=derivs,
+            # associative-scan Riccati (solver/parscan.py): O(log N)
+            # depth instead of a sequential reverse scan — wins on long
+            # horizons (acrobot N=750), slightly slower on short ones
+            parallel_backward=bool(parallel_backward),
         )
         self.dtype = dtype or jnp.float32
         self.verbose = verbose

@@ -81,11 +81,28 @@ def _lane_step_for(system: DiscreteSystem, rollout_kernel: str,
     return step
 
 
+# Which rollout path the last solve_ilqr_batched build actually selected
+# (trace-time Python, so readable after jit tracing).  Keys: "rollout"
+# ('fused' | 'megastep' | 'lane'), "fallback_reason" (exception summary
+# when 'auto' degraded, else None).  bench.py reports it in its detail.
+KERNEL_SELECTION = {"rollout": None, "fallback_reason": None}
+
+_PREFLIGHT_OK: set = set()
+
+
 def _fused_rollout_for(system: DiscreteSystem, rollout_kernel: str,
                        num_steps: int, block_b: int = 128):
     """The fused whole-horizon Pallas rollout (ops/megaroll.py), when
     available — one kernel per linesearch chunk instead of N-1 per-step
-    launches.  None = use the per-step scan path."""
+    launches.  None = use the per-step scan path.
+
+    On TPU the fused kernel is pre-flight AOT-compiled at one-tile
+    shapes before being selected: Mosaic legality failures only surface
+    at compile time of the *whole* program (which is how the r02 bench
+    went rc=1 instead of degrading), so 'auto' compiles the kernel alone
+    first and falls back to the per-step path on any failure.
+    'fused' (explicit) still raises.
+    """
     if rollout_kernel not in ("auto", "fused"):
         return None
     if rollout_kernel == "auto" and jax.default_backend() not in (
@@ -94,10 +111,26 @@ def _fused_rollout_for(system: DiscreteSystem, rollout_kernel: str,
     try:
         from drake_ddp_tpu.ops.megaroll import pallas_rollout_for_system
 
-        return pallas_rollout_for_system(system, num_steps, block_b=block_b)
-    except Exception:
+        fused = pallas_rollout_for_system(system, num_steps,
+                                          block_b=block_b)
+        if fused is None:
+            return None
+        key = (id(system), num_steps, block_b)
+        if (rollout_kernel == "auto" and key not in _PREFLIGHT_OK
+                and jax.default_backend() in ("tpu", "axon")):
+            n, m, T = system.n, system.m, num_steps - 1
+            s = lambda *sh: jax.ShapeDtypeStruct(sh, jnp.float32)
+            fused.lower(
+                s(n, block_b), s(block_b), s(T, m, block_b),
+                s(T, m, block_b), s(T, m, n, block_b), s(T, n, block_b),
+            ).compile()
+            _PREFLIGHT_OK.add(key)
+        return fused
+    except Exception as e:
         if rollout_kernel == "fused":
             raise
+        KERNEL_SELECTION["fallback_reason"] = (
+            f"{type(e).__name__}: {str(e)[:300]}")
         return None
 
 
@@ -289,11 +322,17 @@ def solve_ilqr_batched(
     cfg.derivs.validate()
     step = system.bound_step()
     N = cfg.num_steps
+    KERNEL_SELECTION["fallback_reason"] = None
     fused = _fused_rollout_for(system, rollout_kernel, N)
     # when the fused whole-horizon kernel drives the rollout the per-step
     # path is dead code — skip its (expensive) Pallas build
     step_T = _lane_step_for(system, "lane" if fused is not None
                             else rollout_kernel)
+    KERNEL_SELECTION["rollout"] = (
+        "fused" if fused is not None
+        else "megastep" if (system.lane_step_fn is not None
+                            and step_T is not system.lane_step_fn)
+        else "lane")
     B, n = prob.x0.shape
     m = prob.u_init.shape[-1]
     dtype = prob.x0.dtype

