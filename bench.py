@@ -126,14 +126,19 @@ def main():
     st = time.perf_counter()
     diverged = 0.0
     for c in range(NUM_CHUNKS):
-        print(f"bench: chunk {c}", file=sys.stderr, flush=True)
         res = fn(prob)
         prob = prob._replace(
             x0=res.final_x[:, rs],
             u_init=vshift(res.final_u),
             x_nom=prob.x_nom + shift[None, :] * RESOLVE_CHUNK,
         )
-        diverged += float(np.asarray(jnp.mean(res.diverged)))
+        d = float(np.asarray(jnp.mean(res.diverged)))
+        diverged += d
+        # per-chunk divergence on stderr: distinguishes chains that fall
+        # and stay down (fraction ramps with chunk index) from uniform
+        # transient linesearch failures
+        print(f"bench: chunk {c} diverged {d:.4f}", file=sys.stderr,
+              flush=True)
     np.asarray(res.costs)
     elapsed = time.perf_counter() - st
 

@@ -63,9 +63,12 @@ class Config:
     # while it closes that gap) which delta=1e-3 mistakes for
     # convergence — the solve then stalls at cost ~5 with the ball
     # unmoved.  delta=1e-5 grinds through the plateau and breaks
-    # through: side reaches cost ~1.1 with the ball 98% of the way to
-    # the target, forward rolls it 18 of 20 cm, lift raises it 13.5 of
-    # 20 cm (CPU f32, tests/test_robot_examples.py pins side).
+    # through: side reaches cost 1.17 with the ball 98% of the way to
+    # the target, forward rolls it most of the 20 cm, and lift (WRAP
+    # pose, refined gripper cover — see tools/gen_model_data.py
+    # --refine) raises the ball in a smooth monotone hold to ~10 of
+    # 20 cm within the 0.5 s horizon (CPU f32,
+    # tests/test_robot_examples.py pins side and lift).
     delta: float = 1e-5
     gamma: float = 0.0
     # contact (kinova_gen3.py:90-99)

@@ -51,7 +51,7 @@ def _ritter_sphere(verts: np.ndarray) -> Tuple[np.ndarray, float]:
 
 
 def approximate_spheres(
-    verts: np.ndarray, max_spheres: int = 4
+    verts: np.ndarray, max_spheres: int = 4, refine: float = 1.0
 ) -> List[Tuple[np.ndarray, float]]:
     """Approximate a vertex cloud by <= max_spheres bounding spheres.
 
@@ -60,6 +60,12 @@ def approximate_spheres(
     spheres, a compact one gets a single sphere), then bounds each slice
     with a Ritter sphere.  Returns [(center (3,), radius), ...] in the
     mesh's own frame.
+
+    ``refine`` multiplies the slice density: >1 subdivides finer than
+    the elongation heuristic (more, tighter spheres — less envelope
+    bloat around thin parts like gripper fingers, at the cost of more
+    contact pairs).  The per-slice Ritter radius still covers the full
+    cross-section, so the approximation stays conservative (bounding).
     """
     mean = verts.mean(axis=0)
     centered = verts - mean
@@ -72,7 +78,8 @@ def approximate_spheres(
     # cross-sectional scale: rms distance from the axis
     radial = centered - t[:, None] * axis[None, :]
     cross = 2.0 * float(np.sqrt((radial ** 2).sum(axis=1).mean()) + 1e-9)
-    k = int(np.clip(np.ceil(extent / max(cross, 1e-6)), 1, max_spheres))
+    k = int(np.clip(np.ceil(refine * extent / max(cross, 1e-6)),
+                    1, max_spheres))
     if k == 1:
         c, r = _ritter_sphere(verts)
         return [(c, r)]

@@ -340,6 +340,7 @@ def add_urdf(
     floating: bool = True,
     prefix: str = "",
     mesh_max_spheres: int = 4,
+    mesh_refine: float = 1.0,
 ) -> Dict[str, int]:
     """Add a parsed URDF robot to a ModelBuilder (+ GeometrySet).
 
@@ -382,7 +383,8 @@ def add_urdf(
         body_index[link_name] = idx
         if geometry is not None:
             for c in link.collisions:
-                _add_collision(geometry, idx, c, robot.dir, mesh_max_spheres)
+                _add_collision(geometry, idx, c, robot.dir,
+                               mesh_max_spheres, mesh_refine)
         return idx
 
     root_type = FREE if floating else FIXED
@@ -443,16 +445,21 @@ def add_urdf(
 
 
 def _add_collision(gs: GeometrySet, body: int, c: UrdfCollision,
-                   base_dir: str, mesh_max_spheres: int):
+                   base_dir: str, mesh_max_spheres: int,
+                   mesh_refine: float = 1.0):
     if c.kind == "mesh":
         path = os.path.join(base_dir, c.mesh_file)
         # fast path: native sphere cover (drake_ddp_tpu/native); Python
-        # fallback implements the identical algorithm
-        from drake_ddp_tpu.native import sphere_cover
-        spheres = sphere_cover(path, c.mesh_scale, mesh_max_spheres)
+        # fallback implements the identical algorithm.  The native ABI
+        # has no refine knob, so refined covers use the Python path.
+        spheres = None
+        if mesh_refine == 1.0:
+            from drake_ddp_tpu.native import sphere_cover
+            spheres = sphere_cover(path, c.mesh_scale, mesh_max_spheres)
         if spheres is None:
             verts = load_obj_vertices(path) * c.mesh_scale
-            spheres = approximate_spheres(verts, mesh_max_spheres)
+            spheres = approximate_spheres(verts, mesh_max_spheres,
+                                          refine=mesh_refine)
         for center, radius in spheres:
             gs.add(CollisionGeometry(
                 body, SPHERE,

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Multi-host scaling accounting for the flagship batched MPC.
+
+BASELINE.md asks for solves/s at 1 chip, 1 host, and >= 2 hosts.  The
+hardware limit here is one real TPU chip (BENCH_r*.json carries the
+1-chip number), so the >= 2-host point is measured as WEAK-SCALING
+EFFICIENCY on the CPU backend: each host contributes the same local
+scenario batch over the (host, device) mesh (parallel/multihost.py,
+real processes + gloo collectives, DCN-analog), and the ideal is
+constant wall time as hosts are added — scenario DP has no per-step
+collectives, only the psum'd stats cross the host axis.
+
+    runs/s(H hosts) ~= H * runs/s(1 host) * efficiency
+
+Usage:  python tools/bench_multihost.py            # driver: 1 then 2 hosts
+        python tools/bench_multihost.py --worker <pid> <n> <port> <batch>
+Driver prints one JSON line.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEVICES_PER_HOST = 4
+BATCH_PER_HOST = 8      # weak scaling: each host adds this many lanes
+MAX_ITERS = 4
+RESOLVES = 2
+
+
+def worker(pid: int, nproc: int, port: str, batch: int):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={DEVICES_PER_HOST}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          10)
+    except Exception:
+        pass
+    from drake_ddp_tpu.parallel import multihost
+
+    multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                         num_processes=nproc, process_id=pid)
+    import jax.numpy as jnp
+
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+    from drake_ddp_tpu.mpc.driver import MPCConfig
+    from drake_ddp_tpu.parallel.sharding import batched_mpc
+    from drake_ddp_tpu.solver import keypoints as kp
+    from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
+
+    mesh = multihost.host_device_mesh()
+    cfg = mc.Config()
+    system, _ = mc.build_system(cfg)
+    N = int(cfg.T / cfg.dt)
+    Q, R, Qf = mc.costs(cfg)
+    x0, x_nom = mc.initial_and_target(cfg)
+    derivs = kp.DerivsInterpolation("setInterval", minN=8,
+                                    max_keypoints=8, jac_chunk=8)
+    scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
+                      max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4)
+    mpcc = MPCConfig(num_resolves=RESOLVES,
+                     replan_steps=cfg.replan_steps)
+    shift = jnp.zeros(37, jnp.float32).at[4].set(
+        cfg.target_vel * cfg.dt * cfg.replan_steps)
+
+    def make_local(seed):
+        rng = np.random.default_rng(seed + 37 * pid)
+        x0b = np.tile(np.asarray(x0, np.float32), (batch, 1))
+        x0b[:, 19:] += 0.05 * rng.standard_normal(
+            (batch, 18)).astype(np.float32)
+        tile = lambda a: np.tile(np.asarray(a, np.float32),
+                                 (batch, 1, 1))
+        local = ILQRProblem(
+            x0=x0b,
+            x_nom=np.tile(np.asarray(x_nom, np.float32), (batch, 1)),
+            Q=tile(cfg.dt * Q), R=tile(cfg.dt * R), Qf=tile(Qf),
+            u_init=np.tile(np.asarray(mc.U_STAND, np.float32),
+                           (batch, N - 1, 1)),
+        )
+        return multihost.process_local_problem(mesh, local)
+
+    # warm (compile), then measure with fresh inputs (axon-style rule:
+    # vary inputs, force with np.asarray)
+    res, stats = batched_mpc(system, scfg, make_local(1000), mpcc,
+                             shift, mesh=mesh)
+    np.asarray(stats.mean_cost)
+    st = time.perf_counter()
+    res, stats = batched_mpc(system, scfg, make_local(0), mpcc,
+                             shift, mesh=mesh)
+    np.asarray(stats.mean_cost)
+    el = time.perf_counter() - st
+    print(f"TIME {el:.4f} COST {float(stats.mean_cost):.4f} "
+          f"DIV {int(stats.num_diverged)}", flush=True)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run_hosts(nproc: int) -> dict:
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker",
+             str(pid), str(nproc), str(port), str(BATCH_PER_HOST)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            text=True)
+        for pid in range(nproc)
+    ]
+    times, costs, divs = [], [], []
+    for p in procs:
+        out, err = p.communicate(timeout=3600)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{err[-2000:]}")
+        tok = [l for l in out.splitlines() if l.startswith("TIME")][0]
+        parts = tok.split()
+        times.append(float(parts[1]))
+        costs.append(float(parts[3]))
+        divs.append(int(parts[5]))
+    return {"hosts": nproc, "wall_s": max(times),
+            "batch_total": BATCH_PER_HOST * nproc,
+            "mean_cost": costs[0], "num_diverged": divs[0]}
+
+
+def main():
+    r1 = _run_hosts(1)
+    r2 = _run_hosts(2)
+    eff = r1["wall_s"] / max(r2["wall_s"], 1e-9)
+    out = {
+        "metric": "multi-host weak-scaling efficiency (CPU mesh, "
+                  "flagship MPC)",
+        "one_host": r1,
+        "two_hosts": r2,
+        "weak_scaling_efficiency": round(eff, 4),
+        "note": "1 real TPU chip available; >=2-host point measured as "
+                "2 processes x 4 CPU devices over gloo (DCN-analog). "
+                "runs/s(H) ~= H * runs/s(1) * efficiency; the 1-chip "
+                "TPU absolute number is BENCH JSON's value.",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+               int(sys.argv[5]))
+    else:
+        main()

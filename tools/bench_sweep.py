@@ -16,10 +16,13 @@ Axon gotchas (CLAUDE.md): vary inputs between reps; force with
 np.asarray; keep each device call < 1 min.
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 BATCH = 256
 MAX_ITERS = 12
