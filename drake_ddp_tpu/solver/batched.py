@@ -242,6 +242,14 @@ def _linesearch_batched(step_T, cfg, prob, state, fused=None):
     dV_sum = jnp.sum(state.dV_coeff, axis=1)              # (B,)
     steps_bar = jax.vmap(_cost_steps)(prob, state.x_bar, state.u_bar)
     have_incumbent = jnp.isfinite(state.L)
+    floor = jnp.asarray(cfg.ls_expected_floor, dtype)
+
+    def allowed(eps):
+        # mirror of ilqr._linesearch.allowed: candidates whose predicted
+        # decrease eps*(1-eps/2)*dV_sum can't reach ls_expected_floor are
+        # skipped (per lane); broadcasts (C, B) or (B,) against dV_sum (B,)
+        return ~have_incumbent | (
+            eps * (1.0 - eps / 2.0) * dV_sum >= floor)
 
     def chunk(eps_start):
         eps_cb = eps_start[None, :] * powers[:, None]     # (C, B)
@@ -254,7 +262,7 @@ def _linesearch_batched(step_T, cfg, prob, state, fused=None):
             jnp.where(jnp.isfinite(L), jnp.inf, -jnp.inf))
         improvement = jnp.where(jnp.isfinite(L), improvement, -jnp.inf)
         accept = (improvement > cfg.gamma * expected) & (
-            eps_cb >= cfg.eps_min)
+            eps_cb >= cfg.eps_min) & allowed(eps_cb)
         found = jnp.any(accept, axis=0)                   # (B,)
         idx = jnp.argmax(accept, axis=0)                  # (B,) first True
         take = lambda a: jnp.take_along_axis(
@@ -266,11 +274,13 @@ def _linesearch_batched(step_T, cfg, prob, state, fused=None):
 
     def cond(carry):
         eps_start, k, found, *_ = carry
-        return jnp.any(~found & (eps_start >= cfg.eps_min))
+        return jnp.any(~found & (eps_start >= cfg.eps_min)
+                       & allowed(eps_start))
 
     def body(carry):
         eps_start, k, found, n_iters, eps, x, u, L, imp = carry
-        active = ~found & (eps_start >= cfg.eps_min)      # per-lane cond
+        active = (~found & (eps_start >= cfg.eps_min)
+                  & allowed(eps_start))                   # per-lane cond
         (found_c, idx, eps_c, x_c, u_c, L_c, imp_c) = chunk(eps_start)
         n_new = (k * C + idx + 1).astype(jnp.int32)
         sel = lambda new, old: jnp.where(
@@ -298,9 +308,10 @@ def _linesearch_batched(step_T, cfg, prob, state, fused=None):
         jnp.full((B,), jnp.inf, dtype),
         jnp.zeros((B,), dtype),
     ), state.x_bar)
-    (_, k, found, n_iters, eps, x, u, L, imp) = jax.lax.while_loop(
+    (eps_start, k, found, n_iters, eps, x, u, L, imp) = jax.lax.while_loop(
         cond, body, init)
-    return eps, x, u, L, imp, n_iters, ~found
+    floor_cut = ~found & (eps_start >= cfg.eps_min) & ~allowed(eps_start)
+    return eps, x, u, L, imp, n_iters, ~found, floor_cut
 
 
 def solve_ilqr_batched(
@@ -360,7 +371,8 @@ def solve_ilqr_batched(
     from drake_ddp_tpu.solver.ilqr import _LoopState
 
     def forward_and_backward(state):
-        eps, x, u, L_new, imp, ls_iters, failed = _linesearch_batched(
+        (eps, x, u, L_new, imp, ls_iters, failed,
+         floor_cut) = _linesearch_batched(
             step_T, cfg, prob, state, fused=fused)
 
         selb = lambda flag, a, b: jnp.where(
@@ -377,8 +389,13 @@ def solve_ilqr_batched(
             )
         else:
             reg_new = state.reg
-        at_optimum = (jnp.sum(state.dV_coeff, axis=1) <= cfg.delta) & (
-            state.iteration > 0)
+        # floor_cut = every remaining candidate's predicted decrease is
+        # below ls_expected_floor <= delta — convergence, not divergence
+        # (mirrors ilqr.solve_ilqr)
+        # isfinite(L): no finite incumbent -> not an optimum (see ilqr.py)
+        at_optimum = ((jnp.sum(state.dV_coeff, axis=1) <= cfg.delta)
+                      | floor_cut) & (state.iteration > 0) & jnp.isfinite(
+                          state.L)
         exhausted = jnp.asarray(
             not adaptive) | (state.reg >= cfg.reg_max) | at_optimum
         retry = failed & ~exhausted

@@ -76,6 +76,20 @@ class ILQRConfig(NamedTuple):
             (an extra leading batch axis) cuts sequential depth by ~this
             factor with identical accepted-eps semantics.  1 reproduces the
             reference's trial-at-a-time schedule.
+        ls_expected_floor: skip linesearch candidates whose PREDICTED
+            cost decrease eps*(1-eps/2)*sum(dV_coeff) (the reference's
+            expected-improvement magnitude, ilqr.py:326) is below this
+            floor, and treat a lane that exhausts the schedule this way
+            as CONVERGED (at-optimum), not failed.  Rationale: accepting
+            such a candidate terminates the outer loop anyway (its
+            achievable improvement <= floor <= delta), so the reference
+            outcome is preserved while the deep tail of the backtracking
+            schedule — measured at 5-7 extra whole-horizon rollout rounds
+            per converging lane on the flagship bench, with acceptances
+            at eps ~1e-5 that are pure f32 cost noise — is skipped.  Set
+            to cfg.delta for that behavior; 0.0 (default) reproduces the
+            reference schedule exactly.  Only meaningful when < delta is
+            undetectable anyway; keep <= delta.
     """
 
     num_steps: int
@@ -91,6 +105,7 @@ class ILQRConfig(NamedTuple):
     derivs: kp.DerivsInterpolation = kp.BASELINE
     ls_parallel: int = 8
     parallel_backward: bool = False
+    ls_expected_floor: float = 0.0
 
 
 class ILQRProblem(NamedTuple):
@@ -234,9 +249,11 @@ def _linesearch(
     the reference's choice — but candidates are evaluated ``ls_parallel``
     at a time in one vectorized rollout (see ILQRConfig.ls_parallel).
 
-    Returns (eps, x, u, L, improvement, n_iters, failed).  ``failed``
-    replaces the reference's RuntimeError so a batched solve can mask out
-    the scenario.  ``improvement`` is computed as a sum of per-step cost
+    Returns (eps, x, u, L, improvement, n_iters, failed, floor_cut).
+    ``failed`` replaces the reference's RuntimeError so a batched solve
+    can mask out the scenario; ``floor_cut`` marks a failure caused only
+    by the ``ls_expected_floor`` schedule cut (treated as convergence by
+    the caller).  ``improvement`` is computed as a sum of per-step cost
     differences vs the incumbent trajectory (see _cost_steps).
     """
     dtype = state.x_bar.dtype
@@ -248,6 +265,15 @@ def _linesearch(
     # incumbent per-step costs (first outer iteration: no incumbent yet)
     steps_bar = _cost_steps(prob, state.x_bar, state.u_bar)
     have_incumbent = jnp.isfinite(state.L)
+    floor = jnp.asarray(cfg.ls_expected_floor, dtype)
+
+    def allowed(eps):
+        # candidate worth trying: predicted decrease reaches the floor
+        # (eps*(1-eps/2) is increasing on (0,1], so a chunk whose first
+        # candidate is disallowed has no allowed candidates).  The first
+        # outer iteration has no incumbent (dV_coeff = 0) and must roll
+        # out regardless.  floor = 0 (default) allows everything.
+        return ~have_incumbent | (eps * (1.0 - eps / 2.0) * dV_sum >= floor)
 
     def chunk(eps_start):
         eps_vec = eps_start * powers
@@ -260,7 +286,8 @@ def _linesearch(
             have_incumbent, diff,
             jnp.where(jnp.isfinite(L), jnp.inf, -jnp.inf))
         improvement = jnp.where(jnp.isfinite(L), improvement, -jnp.inf)
-        accept = (improvement > cfg.gamma * expected) & (eps_vec >= cfg.eps_min)
+        accept = ((improvement > cfg.gamma * expected)
+                  & (eps_vec >= cfg.eps_min) & allowed(eps_vec))
         found = jnp.any(accept)
         idx = jnp.argmax(accept)  # first True = largest acceptable eps
         return (found, idx, eps_vec[idx], x[idx], u[idx], L[idx],
@@ -268,7 +295,7 @@ def _linesearch(
 
     def cond(carry):
         eps_start, k, found, *_ = carry
-        return ~found & (eps_start >= cfg.eps_min)
+        return ~found & (eps_start >= cfg.eps_min) & allowed(eps_start)
 
     def body(carry):
         eps_start, k, _, _, _eps, x, u, L, imp = carry
@@ -297,9 +324,10 @@ def _linesearch(
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(0.0, dtype),
     )
-    (_, k, found, n_iters, eps, x, u, L, imp) = jax.lax.while_loop(
+    (eps_start, k, found, n_iters, eps, x, u, L, imp) = jax.lax.while_loop(
         cond, body, init)
-    return eps, x, u, L, imp, n_iters, ~found
+    floor_cut = ~found & (eps_start >= cfg.eps_min) & ~allowed(eps_start)
+    return eps, x, u, L, imp, n_iters, ~found, floor_cut
 
 
 def _backward_pass(cfg: ILQRConfig, prob: ILQRProblem, x_bar, u_bar, fx, fu,
@@ -394,7 +422,7 @@ def solve_ilqr(
     def forward_and_backward(state: _LoopState) -> _LoopState:
         # Forward pass: linesearch + derivative computation
         # (reference ilqr.py:339-378).
-        eps, x, u, L_new, imp, ls_iters, failed = _linesearch(
+        eps, x, u, L_new, imp, ls_iters, failed, floor_cut = _linesearch(
             step, cfg, prob, state)
 
         # On linesearch failure keep the previous iterate (the reference
@@ -417,9 +445,15 @@ def solve_ilqr(
         # If the expected improvement is already below delta the iterate
         # is at a local optimum — report convergence, not divergence.
         # (Gated on iteration > 0: the init dV_coeff of zeros is not a
-        # converged state.)
-        at_optimum = (jnp.sum(state.dV_coeff) <= cfg.delta) & (
-            state.iteration > 0)
+        # converged state.)  A floor_cut linesearch exit means every
+        # remaining candidate's predicted decrease was below
+        # ls_expected_floor <= delta — also convergence (see ILQRConfig).
+        # isfinite(L): a lane with no finite incumbent (every rollout so
+        # far NaN'd/blew up) is NOT at an optimum — without this guard it
+        # can exit "converged" on its zeros-init x_bar and silently poison
+        # an MPC chain's handoff state.
+        at_optimum = ((jnp.sum(state.dV_coeff) <= cfg.delta) | floor_cut) & (
+            state.iteration > 0) & jnp.isfinite(state.L)
         exhausted = jnp.asarray(
             not adaptive) | (state.reg >= cfg.reg_max) | at_optimum
         retry = failed & ~exhausted

@@ -145,7 +145,7 @@ def profiled_solve(
         if not cond:
             break
 
-        eps, x, u, L_new, imp, ls_iters, failed = timed(
+        eps, x, u, L_new, imp, ls_iters, failed, floor_cut = timed(
             times.forward, ls_fn, prob, state)
         failed_h = bool(failed)
 
@@ -159,8 +159,10 @@ def profiled_solve(
                        else jnp.maximum(state.reg / cfg.reg_mult, cfg.reg))
         else:
             reg_new = state.reg
-        at_optimum = (float(jnp.sum(state.dV_coeff)) <= cfg.delta
-                      and int(state.iteration) > 0)
+        at_optimum = ((float(jnp.sum(state.dV_coeff)) <= cfg.delta
+                       or bool(floor_cut))
+                      and int(state.iteration) > 0
+                      and bool(jnp.isfinite(state.L)))
         exhausted = ((not adaptive) or float(state.reg) >= cfg.reg_max
                      or at_optimum)
         retry = failed_h and not exhausted
@@ -269,7 +271,7 @@ def profiled_solve_batched(
                active):
         # bookkeeping of batched.forward_and_backward + the while-body
         # lane masking, verbatim
-        eps, x, u, L_new, imp, ls_iters, failed = ls_out
+        eps, x, u, L_new, imp, ls_iters, failed, floor_cut = ls_out
         selb = lambda flag, a, b: jnp.where(
             flag.reshape((B,) + (1,) * (a.ndim - 1)), a, b)
         x_use = selb(failed, state.x_bar, x)
@@ -283,8 +285,9 @@ def profiled_solve_batched(
             )
         else:
             reg_new = state.reg
-        at_optimum = (jnp.sum(state.dV_coeff, axis=1) <= cfg.delta) & (
-            state.iteration > 0)
+        at_optimum = ((jnp.sum(state.dV_coeff, axis=1) <= cfg.delta)
+                      | floor_cut) & (state.iteration > 0) & jnp.isfinite(
+                          state.L)
         exhausted = jnp.asarray(
             not adaptive) | (state.reg >= cfg.reg_max) | at_optimum
         retry = failed & ~exhausted

@@ -67,3 +67,36 @@ def test_cold_start_divergence_rate_bounded():
     # mode: costs -> 1e20 while diverged stays False)
     bad = (costs > 1e6) & ~div
     assert bad.mean() <= 2.0 / div.size, np.argwhere(bad)
+
+
+def test_no_incumbent_reports_diverged():
+    """A lane whose every rollout is non-finite must end DIVERGED — never
+    'converged' on its zeros-init x_bar.
+
+    Round-3 probe_walk found fallen bench chains collapsing into an
+    absorbing all-zeros handoff state with diverged=False: once a solve's
+    first linesearch found no finite candidate, the lane kept x_bar =
+    zeros, L = inf, and could exit via the at_optimum path (dV of the
+    zeros trajectory below delta).  at_optimum now requires a finite
+    incumbent.
+    """
+    from drake_ddp_tpu.dynamics.base import DiscreteSystem
+    from drake_ddp_tpu.solver.batched import solve_ilqr_batched
+    from drake_ddp_tpu.solver.ilqr import solve_ilqr
+
+    n, m, N, B = 2, 1, 6, 3
+    nan_sys = DiscreteSystem(
+        step_fn=lambda p, x, u: x * jnp.nan, params=None, n=n, m=m,
+        dt=0.01)
+    prob = ILQRProblem(
+        x0=jnp.ones(n), x_nom=jnp.zeros(n), Q=jnp.eye(n), R=jnp.eye(m),
+        Qf=jnp.eye(n), u_init=jnp.zeros((N - 1, m)))
+    for floor in (0.0, 1e-2):
+        cfg = ILQRConfig(num_steps=N, max_iters=16, ls_parallel=4,
+                         beta=0.5, ls_expected_floor=floor)
+        sol = solve_ilqr(nan_sys, cfg, prob)
+        assert bool(sol.diverged), (floor, float(sol.cost))
+        bprob = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), prob)
+        bsol = solve_ilqr_batched(nan_sys, cfg, bprob)
+        assert np.asarray(bsol.diverged).all(), floor

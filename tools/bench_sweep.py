@@ -47,7 +47,8 @@ def build(batch):
                                     max_keypoints=8, jac_chunk=JAC_CHUNK)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
-                      parallel_backward=False)
+                      parallel_backward=False,
+                      ls_expected_floor=cfg.delta)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * cfg.replan_steps)
 
