@@ -65,7 +65,8 @@ def main():
 
     from drake_ddp_tpu.examples import mini_cheetah as mc
     from drake_ddp_tpu.solver import batched
-    from drake_ddp_tpu.mpc.driver import (MPCConfig, mpc_solve_batched,
+    from drake_ddp_tpu.mpc.driver import (MPCConfig, _shift_tape,
+                                          mpc_solve_batched,
                                           shift_warm_start_batched)
     from drake_ddp_tpu.solver import keypoints as kp
     from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
@@ -85,12 +86,20 @@ def main():
     # ls_expected_floor=delta: skip linesearch candidates whose predicted
     # decrease can't reach the convergence threshold (measured: converging
     # lanes otherwise grind 5-7 extra rollout rounds accepting f32-noise
-    # steps at eps ~1e-5; see ILQRConfig docstring)
+    # steps at eps ~1e-5; see ILQRConfig docstring).
+    # cost_ceiling: healthy resolve costs are ~1-50 at this config; a
+    # candidate above 1e4 is an exploded prediction and must never become
+    # the incumbent (accepting one feeds garbage gains to the next warm
+    # start and poisons the chain — tools/probe_fall.py dissection).
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
                       parallel_backward=False,
-                      ls_expected_floor=cfg.delta)
-    mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs)
+                      ls_expected_floor=cfg.delta, cost_ceiling=1e4)
+    # policy_warm_start: seed each resolve with the previous solution's
+    # LQR policy — the open-loop tape replay diverges exponentially over
+    # the horizon tail through stiff contact (MPCConfig docstring)
+    mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs,
+                     policy_warm_start=True)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
 
@@ -143,6 +152,10 @@ def main():
             x0=res.final_x[:, rs],
             u_init=vshift(res.final_u),
             x_nom=prob.x_nom + shift[None, :] * RESOLVE_CHUNK,
+            # the policy handoff across the chunk boundary (the shifted
+            # final gains + state reference of the last resolve)
+            K_init=_shift_tape(res.final_K, rs, time_axis=1),
+            x_ref_init=_shift_tape(res.final_x, rs, time_axis=1),
         )
         d = float(np.asarray(jnp.mean(res.diverged)))
         diverged += d

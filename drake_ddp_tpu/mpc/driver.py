@@ -27,6 +27,15 @@ from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem, solve_ilqr
 class MPCConfig(NamedTuple):
     num_resolves: int      # additional solves after the initial one
     replan_steps: int      # horizon shift per resolve (>0)
+    # Seed every resolve with the previous solution's time-varying LQR
+    # policy (shifted K + state reference) in addition to the shifted
+    # control tape.  The reference warm-starts with the tape alone
+    # (mini_cheetah.py:193-197), but replaying a tape OPEN LOOP through
+    # stiff contact diverges exponentially over the horizon tail (gait
+    # dissection: warm-start costs oscillating 1.7 -> 1.7e9 between
+    # resolves, tools/probe_fall.py); the closed-loop seed keeps the
+    # incumbent bounded.  False = reference behavior.
+    policy_warm_start: bool = False
 
 
 class MPCResult(NamedTuple):
@@ -36,6 +45,7 @@ class MPCResult(NamedTuple):
     diverged: jax.Array    # (num_resolves + 1,) divergence flags
     final_x: jax.Array     # (N, n) last solution
     final_u: jax.Array     # (N-1, m) last control tape
+    final_K: Optional[jax.Array] = None  # (N-1, m, n) last feedback gains
 
 
 def shift_warm_start(u: jax.Array, replan_steps: int) -> jax.Array:
@@ -44,6 +54,17 @@ def shift_warm_start(u: jax.Array, replan_steps: int) -> jax.Array:
     tail = u[replan_steps:]
     pad = jnp.tile(u[-1:], (replan_steps, 1))
     return jnp.concatenate([tail, pad], axis=0)
+
+
+def _shift_tape(a: jax.Array, replan_steps: int, time_axis: int = 0):
+    """Shift any time-major tape: drop the first replan_steps entries
+    along ``time_axis``, repeat the last entry to keep the length."""
+    idx = (slice(None),) * time_axis
+    tail = a[idx + (slice(replan_steps, None),)]
+    last = a[idx + (slice(-1, None),)]
+    reps = [1] * a.ndim
+    reps[time_axis] = replan_steps
+    return jnp.concatenate([tail, jnp.tile(last, reps)], axis=time_axis)
 
 
 def mpc_solve(
@@ -61,19 +82,44 @@ def mpc_solve(
     """
     N, rs = cfg.num_steps, mpc.replan_steps
     sol0 = solve_ilqr(system, cfg, prob)
+    x0c, u0c, K0c = sol0.x, sol0.u, sol0.K
+    if mpc.policy_warm_start and prob.K_init is not None:
+        # the chain's entry solve may also diverge: coast on the policy
+        # it was seeded with (e.g. the previous bench chunk's handoff)
+        bad0 = sol0.diverged
+        sel0 = lambda a, b: jnp.where(bad0, a, b)
+        x0c = sel0(prob.x_ref_init, sol0.x)
+        u0c = sel0(prob.u_init, sol0.u)
+        K0c = sel0(prob.K_init, sol0.K)
 
     def resolve(carry, _):
-        x_prev, u_prev, x_nom = carry
+        x_prev, u_prev, K_prev, x_nom = carry
         u_guess = shift_warm_start(u_prev, rs)
         x0 = x_prev[rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
         p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        if mpc.policy_warm_start:
+            K_guess = _shift_tape(K_prev, rs)
+            x_guess = _shift_tape(x_prev, rs)
+            p = p._replace(K_init=K_guess, x_ref_init=x_guess)
         sol = solve_ilqr(system, cfg, p)
-        return (sol.x, sol.u, x_nom_new), (sol.x, sol.cost, sol.iterations, sol.diverged)
+        x_new, u_new, K_new = sol.x, sol.u, sol.K
+        if mpc.policy_warm_start:
+            # a diverged solve's trajectory/gains are garbage (its
+            # backward passes ran on a blown-up or zeros-derivative
+            # iterate); coast on the shifted last-good policy instead so
+            # one bad resolve cannot poison the rest of the chain
+            bad = sol.diverged
+            selt = lambda a, b: jnp.where(bad, a, b)
+            x_new = selt(x_guess, sol.x)
+            u_new = selt(u_guess, sol.u)
+            K_new = selt(K_guess, sol.K)
+        return (x_new, u_new, K_new, x_nom_new), (
+            x_new, sol.cost, sol.iterations, sol.diverged)
 
-    (x_last, u_last, _), (xs, costs, iters, divs) = jax.lax.scan(
+    (x_last, u_last, K_last, _), (xs, costs, iters, divs) = jax.lax.scan(
         resolve,
-        (sol0.x, sol0.u, prob.x_nom),
+        (x0c, u0c, K0c, prob.x_nom),
         None,
         length=mpc.num_resolves,
     )
@@ -98,6 +144,7 @@ def mpc_solve(
         diverged=jnp.concatenate([sol0.diverged[None], divs]),
         final_x=x_last,
         final_u=u_last,
+        final_K=K_last,
     )
 
 
@@ -129,20 +176,43 @@ def mpc_solve_batched(
                                          rollout_kernel=rollout_kernel,
                                          deriv_kernel=deriv_kernel)
     sol0 = solve(prob)
+    x0c, u0c, K0c = sol0.x, sol0.u, sol0.K
+    if mpc.policy_warm_start and prob.K_init is not None:
+        # coast a diverged entry solve on its seed policy (see mpc_solve)
+        bad0 = sol0.diverged
+        sel0 = lambda a, b: jnp.where(
+            bad0.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+        x0c = sel0(prob.x_ref_init, sol0.x)
+        u0c = sel0(prob.u_init, sol0.u)
+        K0c = sel0(prob.K_init, sol0.K)
 
     def resolve(carry, _):
-        x_prev, u_prev, x_nom = carry
+        x_prev, u_prev, K_prev, x_nom = carry
         u_guess = shift_warm_start_batched(u_prev, rs)
         x0 = x_prev[:, rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
         p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        if mpc.policy_warm_start:
+            K_guess = _shift_tape(K_prev, rs, time_axis=1)
+            x_guess = _shift_tape(x_prev, rs, time_axis=1)
+            p = p._replace(K_init=K_guess, x_ref_init=x_guess)
         sol = solve(p)
-        return (sol.x, sol.u, x_nom_new), (
-            sol.x, sol.cost, sol.iterations, sol.diverged)
+        x_new, u_new, K_new = sol.x, sol.u, sol.K
+        if mpc.policy_warm_start:
+            # coast diverged lanes on the shifted last-good policy (see
+            # the unbatched resolve above)
+            bad = sol.diverged
+            selt = lambda a, b: jnp.where(
+                bad.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            x_new = selt(x_guess, sol.x)
+            u_new = selt(u_guess, sol.u)
+            K_new = selt(K_guess, sol.K)
+        return (x_new, u_new, K_new, x_nom_new), (
+            x_new, sol.cost, sol.iterations, sol.diverged)
 
-    (x_last, u_last, _), (xs, costs, iters, divs) = jax.lax.scan(
+    (x_last, u_last, K_last, _), (xs, costs, iters, divs) = jax.lax.scan(
         resolve,
-        (sol0.x, sol0.u, prob.x_nom),
+        (x0c, u0c, K0c, prob.x_nom),
         None,
         length=mpc.num_resolves,
     )
@@ -166,4 +236,5 @@ def mpc_solve_batched(
         diverged=cat(sol0.diverged, divs),
         final_x=x_last,
         final_u=u_last,
+        final_K=K_last,
     )

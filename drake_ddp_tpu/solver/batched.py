@@ -402,10 +402,15 @@ def solve_ilqr_batched(
         diverged = failed & exhausted & ~at_optimum
 
         # (vmap of lax.cond executes both branches; compute fresh derivs
-        # unconditionally and keep the cache on failed lanes)
+        # unconditionally and keep the cache on failed lanes.  The cache
+        # is only valid after iteration 0 — before that it is the zeros
+        # init, and a first-iteration failure must linearize the kept
+        # trajectory (e.g. the policy warm start) or its Levenberg
+        # retries run on garbage gains.)
+        cache_ok = failed & (state.iteration > 0)
         fx_new, fu_new, pct = derivs_fn(x_use, u_use)
-        fx = selb(failed, state.fx, fx_new)
-        fu = selb(failed, state.fu, fu_new)
+        fx = selb(cache_ok, state.fx, fx_new)
+        fu = selb(cache_ok, state.fu, fu_new)
         percent = jnp.where(failed, jnp.zeros_like(pct), pct)
         kappa, K, dV = bp_fn(prob, x_use, u_use, fx, fu, reg_new)
 
@@ -451,13 +456,17 @@ def solve_ilqr_batched(
         ls_iters=jnp.zeros((B, cfg.max_iters), jnp.int32),
         percent_derivs=jnp.zeros((B, cfg.max_iters), dtype),
     )
+    # Policy warm start (see ILQRProblem docstring / ilqr.solve_ilqr)
+    warm = prob.K_init is not None
     init = _vary_like(_LoopState(
-        x_bar=jnp.zeros((B, N, n), dtype),
+        x_bar=(prob.x_ref_init.astype(dtype) if warm
+               else jnp.zeros((B, N, n), dtype)),
         u_bar=prob.u_init.astype(dtype),
         fx=jnp.zeros((B, N - 1, n, n), dtype),
         fu=jnp.zeros((B, N - 1, n, m), dtype),
         kappa=jnp.zeros((B, N - 1, m), dtype),
-        K=jnp.zeros((B, N - 1, m, n), dtype),
+        K=(prob.K_init.astype(dtype) if warm
+           else jnp.zeros((B, N - 1, m, n), dtype)),
         dV_coeff=jnp.zeros((B, N - 1), dtype),
         L=jnp.full((B,), jnp.inf, dtype),
         improvement=jnp.full((B,), jnp.inf, dtype),

@@ -118,6 +118,24 @@ class ILQRProblem(NamedTuple):
         R:      (m, m) running control cost
         Qf:     (n, n) terminal state cost
         u_init: (N-1, m) initial control tape (time-major)
+
+    Optional policy warm start (both None = the reference's open-loop
+    tape warm start):
+        K_init:     (N-1, m, n) feedback gains applied around x_ref_init
+                    during the FIRST forward rollout.
+        x_ref_init: (N, n) state reference for the K_init feedback.
+
+    Motivation (TPU round-3 gait dissection, tools/probe_fall.py): in a
+    receding-horizon chain, rolling out the shifted control tape OPEN
+    LOOP through stiff contact diverges exponentially over the horizon
+    tail — warm-start costs oscillated 1.7 -> 1.7e9 between consecutive
+    mini-cheetah resolves, and repairing the blow-up consumed most of the
+    iteration budget (or exceeded it, sagging the gait until it fell).
+    Seeding the first rollout with the previous solve's time-varying LQR
+    policy (u = u_tape - K_init (x - x_ref_init)) keeps the incumbent
+    bounded.  The executed controls of the accepted solution still match
+    the reference semantics - this only changes the INITIAL GUESS, which
+    the reference leaves unspecified beyond SetInitialGuess (ilqr.py:148).
     """
 
     x0: jax.Array
@@ -126,6 +144,8 @@ class ILQRProblem(NamedTuple):
     R: jax.Array
     Qf: jax.Array
     u_init: jax.Array
+    K_init: Optional[jax.Array] = None
+    x_ref_init: Optional[jax.Array] = None
 
 
 class ILQRStats(NamedTuple):
@@ -462,7 +482,11 @@ def solve_ilqr(
         # Dynamics Jacobians are a function of the trajectory alone; on a
         # reg-retry the trajectory is unchanged, so reuse the cached stack
         # and only redo the (cheap) backward pass.  lax.cond keeps the
-        # expensive branch unexecuted on retries.
+        # expensive branch unexecuted on retries.  The cache is only
+        # valid after iteration 0 (before that it is the zeros init, and
+        # a first-iteration failure must linearize the kept trajectory —
+        # e.g. the policy warm start — or its Levenberg retries run on
+        # garbage gains).
         def fresh_derivs(_):
             fx_new, fu_new, pct = derivs_fn(x_use, u_use)
             return fx_new, fu_new, pct
@@ -471,7 +495,9 @@ def solve_ilqr(
             return state.fx, state.fu, jnp.asarray(0.0, dtype)
 
         fx, fu, percent = jax.lax.cond(
-            failed, cached_derivs, fresh_derivs, operand=None)
+            failed & (state.iteration > 0), cached_derivs, fresh_derivs,
+            operand=None)
+        percent = jnp.where(failed, jnp.asarray(0.0, dtype), percent)
         if cfg.parallel_backward:
             from drake_ddp_tpu.solver.parscan import parallel_backward_pass
             kappa, K, dV = parallel_backward_pass(
@@ -519,13 +545,20 @@ def solve_ilqr(
         ls_iters=jnp.zeros(cfg.max_iters, jnp.int32),
         percent_derivs=jnp.zeros(cfg.max_iters, dtype),
     )
+    # Policy warm start (see ILQRProblem): with K_init/x_ref_init the
+    # FIRST linesearch rollout is closed-loop around the previous
+    # solution instead of an open-loop tape replay (kappa starts at 0,
+    # so every eps candidate coincides — the largest finite one accepts).
+    warm = prob.K_init is not None
     init = _LoopState(
-        x_bar=jnp.zeros((N, n), dtype),
+        x_bar=(prob.x_ref_init.astype(dtype) if warm
+               else jnp.zeros((N, n), dtype)),
         u_bar=prob.u_init.astype(dtype),
         fx=jnp.zeros((N - 1, n, n), dtype),
         fu=jnp.zeros((N - 1, n, m), dtype),
         kappa=jnp.zeros((N - 1, m), dtype),
-        K=jnp.zeros((N - 1, m, n), dtype),
+        K=(prob.K_init.astype(dtype) if warm
+           else jnp.zeros((N - 1, m, n), dtype)),
         dV_coeff=jnp.zeros(N - 1, dtype),
         L=jnp.asarray(jnp.inf, dtype),
         improvement=jnp.asarray(jnp.inf, dtype),

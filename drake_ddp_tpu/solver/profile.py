@@ -102,13 +102,16 @@ def profiled_solve(
         ls_iters=jnp.zeros(cfg.max_iters, jnp.int32),
         percent_derivs=jnp.zeros(cfg.max_iters, dtype),
     )
+    warm = prob.K_init is not None
     state = _LoopState(
-        x_bar=jnp.zeros((N, n), dtype),
+        x_bar=(prob.x_ref_init.astype(dtype) if warm
+               else jnp.zeros((N, n), dtype)),
         u_bar=prob.u_init.astype(dtype),
         fx=jnp.zeros((N - 1, n, n), dtype),
         fu=jnp.zeros((N - 1, n, m), dtype),
         kappa=jnp.zeros((N - 1, m), dtype),
-        K=jnp.zeros((N - 1, m, n), dtype),
+        K=(prob.K_init.astype(dtype) if warm
+           else jnp.zeros((N - 1, m, n), dtype)),
         dV_coeff=jnp.zeros(N - 1, dtype),
         L=jnp.asarray(jnp.inf, dtype),
         improvement=jnp.asarray(jnp.inf, dtype),
@@ -168,10 +171,12 @@ def profiled_solve(
         retry = failed_h and not exhausted
         diverged = failed_h and exhausted and not at_optimum
 
-        if failed_h:
+        if failed_h and int(state.iteration) > 0:
             fx, fu, percent = state.fx, state.fu, jnp.asarray(0.0, dtype)
         else:
             fx, fu, percent = timed(times.derivs, derivs_fn, x_use, u_use)
+            if failed_h:
+                percent = jnp.asarray(0.0, dtype)
 
         kappa, K, dV = timed(times.backward, bp_fn, prob, x_use, u_use,
                              fx, fu, jnp.asarray(reg_new, dtype))
@@ -292,8 +297,9 @@ def profiled_solve_batched(
             not adaptive) | (state.reg >= cfg.reg_max) | at_optimum
         retry = failed & ~exhausted
         diverged = failed & exhausted & ~at_optimum
-        fx = selb(failed, state.fx, fx_new)
-        fu = selb(failed, state.fu, fu_new)
+        cache_ok = failed & (state.iteration > 0)  # see batched.py
+        fx = selb(cache_ok, state.fx, fx_new)
+        fu = selb(cache_ok, state.fu, fu_new)
         percent = jnp.where(failed, jnp.zeros_like(pct), pct)
         it = state.iteration
         put = lambda tab, v: tab.at[jnp.arange(B), it].set(v)
@@ -331,13 +337,16 @@ def profiled_solve_batched(
         ls_iters=jnp.zeros((B, cfg.max_iters), jnp.int32),
         percent_derivs=jnp.zeros((B, cfg.max_iters), dtype),
     )
+    warm = prob.K_init is not None
     state = _vary_like(_LoopState(
-        x_bar=jnp.zeros((B, N, n), dtype),
+        x_bar=(prob.x_ref_init.astype(dtype) if warm
+               else jnp.zeros((B, N, n), dtype)),
         u_bar=prob.u_init.astype(dtype),
         fx=jnp.zeros((B, N - 1, n, n), dtype),
         fu=jnp.zeros((B, N - 1, n, m), dtype),
         kappa=jnp.zeros((B, N - 1, m), dtype),
-        K=jnp.zeros((B, N - 1, m, n), dtype),
+        K=(prob.K_init.astype(dtype) if warm
+           else jnp.zeros((B, N - 1, m, n), dtype)),
         dV_coeff=jnp.zeros((B, N - 1), dtype),
         L=jnp.full((B,), jnp.inf, dtype),
         improvement=jnp.full((B,), jnp.inf, dtype),

@@ -48,7 +48,7 @@ def build(batch):
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
                       parallel_backward=False,
-                      ls_expected_floor=cfg.delta)
+                      ls_expected_floor=cfg.delta, cost_ceiling=1e4)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * cfg.replan_steps)
 

@@ -8,8 +8,9 @@ base height at the end of the resolve's replan window — enough to tell
 budget-limited solves (iterations pinned at max) from model-level gait
 collapse (converged solves that still tip over).
 
-Usage: python tools/probe_fall.py [max_iters] [num_chunks] [minN]
-Prints one JSON line.
+Usage: python tools/probe_fall.py [max_iters] [num_chunks] [minN] [pws]
+(pws=1 seeds every resolve with the previous solution's LQR policy —
+MPCConfig.policy_warm_start.)  Prints one JSON line.
 """
 
 import json
@@ -22,7 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def main(max_iters=12, num_chunks=6, minN=8):
+def main(max_iters=12, num_chunks=6, minN=8, pws=False):
     import jax
 
     try:
@@ -45,7 +46,8 @@ def main(max_iters=12, num_chunks=6, minN=8):
         jac_chunk=scfg.derivs.jac_chunk)
     scfg = scfg._replace(max_iters=max_iters, derivs=derivs)
     rs = cfg.replan_steps
-    mpcc = MPCConfig(num_resolves=5, replan_steps=rs)
+    mpcc = MPCConfig(num_resolves=5, replan_steps=rs,
+                     policy_warm_start=pws)
     fn = jax.jit(lambda p: mpc_solve_batched(system, scfg, p, mpcc, shift))
     vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
 
@@ -56,6 +58,8 @@ def main(max_iters=12, num_chunks=6, minN=8):
     resolves = []
     print(f"probe_fall: max_iters={max_iters} minN={minN}, compiling...",
           file=sys.stderr, flush=True)
+    from drake_ddp_tpu.mpc.driver import _shift_tape
+
     for c in range(num_chunks):
         res = fn(prob)
         prob = prob._replace(
@@ -63,6 +67,10 @@ def main(max_iters=12, num_chunks=6, minN=8):
             u_init=vshift(res.final_u),
             x_nom=prob.x_nom + shift[None, :] * mpcc.num_resolves,
         )
+        if pws:  # carry the policy across the chunk boundary too
+            prob = prob._replace(
+                K_init=_shift_tape(res.final_K, rs, time_axis=1),
+                x_ref_init=_shift_tape(res.final_x, rs, time_axis=1))
         iters = np.asarray(res.iterations[0])       # (6,) nominal lane
         costs = np.asarray(res.costs[0])
         div = np.asarray(res.diverged[0])
@@ -82,7 +90,7 @@ def main(max_iters=12, num_chunks=6, minN=8):
             print("probe_fall: fallen; stopping early", file=sys.stderr,
                   flush=True)
             break
-    print(json.dumps({"max_iters": max_iters, "minN": minN,
+    print(json.dumps({"max_iters": max_iters, "minN": minN, "pws": pws,
                       "resolves": resolves}))
 
 
@@ -90,4 +98,5 @@ if __name__ == "__main__":
     mi = int(sys.argv[1]) if len(sys.argv) > 1 else 12
     nc = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     mn = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    main(mi, nc, mn)
+    pw = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
+    main(mi, nc, mn, pw)
