@@ -71,7 +71,14 @@ def main():
     from drake_ddp_tpu.solver import keypoints as kp
     from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
 
-    cfg = mc.Config()
+    # contact_iters=6: at the example default (4) the implicit Newton
+    # under-resolves high-velocity foot impacts over LONG chains — the
+    # prediction tail accumulates leg-velocity spikes (16 -> 59 -> 457
+    # rad/s, nearly free in the reference's 0.01 leg-velocity weight)
+    # until a resolve converges to a garbage optimum and the chain dies
+    # (~resolve 50).  At 6 iterations the nominal chain walks all 120
+    # resolves (tools/probe_fall.py; PERF.md).
+    cfg = mc.Config(contact_iters=6)
     system, _ = mc.build_system(cfg)
     N = int(cfg.T / cfg.dt)
     Q, R, Qf = mc.costs(cfg)
@@ -97,9 +104,13 @@ def main():
                       ls_expected_floor=cfg.delta, cost_ceiling=1e4)
     # policy_warm_start: seed each resolve with the previous solution's
     # LQR policy — the open-loop tape replay diverges exponentially over
-    # the horizon tail through stiff contact (MPCConfig docstring)
+    # the horizon tail through stiff contact (MPCConfig docstring).
+    # freeze_diverged: a dead lane re-diverging every resolve costs the
+    # whole batch ~11 iterations of max-depth Levenberg retries per
+    # resolve (measured 3x whole-bench slowdown); latch it and report the
+    # dead fraction honestly instead.
     mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs,
-                     policy_warm_start=True)
+                     policy_warm_start=True, freeze_diverged=True)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
 
@@ -156,6 +167,8 @@ def main():
             # final gains + state reference of the last resolve)
             K_init=_shift_tape(res.final_K, rs, time_axis=1),
             x_ref_init=_shift_tape(res.final_x, rs, time_axis=1),
+            # dead-lane latch across the chunk boundary
+            frozen=res.diverged[:, -1],
         )
         d = float(np.asarray(jnp.mean(res.diverged)))
         diverged += d
@@ -166,11 +179,14 @@ def main():
               flush=True)
     np.asarray(res.costs)
     elapsed = time.perf_counter() - st
-    # physical quality at chain end: fraction of lanes still upright
-    # (base height above half the standing height of ~0.29 m) — the
-    # honest companion to mean_diverged_fraction, since a fallen lane
-    # can report "converged" resolves while lying on the ground
-    upright = float(np.asarray(jnp.mean(prob.x0[:, 6] > 0.15)))
+    # physical quality at chain end.  dead = lanes whose chain diverged
+    # at some resolve and was latched (freeze_diverged); a dead lane
+    # coasts on its last-good policy, so its base height stays nominal —
+    # alive_and_upright counts only lanes that BOTH never died AND are
+    # standing (base height above half the ~0.29 m standing height).
+    dead = np.asarray(res.diverged)[:, -1]
+    z_ok = np.asarray(prob.x0[:, 6] > 0.15)
+    upright = float(np.mean(~dead & z_ok))
 
     total_resolves = (RESOLVE_CHUNK + 1) * NUM_CHUNKS - 1
     resolves_per_s = BATCH * total_resolves / elapsed
@@ -192,7 +208,8 @@ def main():
             "seconds_total": round(elapsed, 2),
             "resolves_per_s_per_chip": round(resolves_per_s, 1),
             "mean_diverged_fraction": round(diverged / NUM_CHUNKS, 4),
-            "upright_fraction_final": round(upright, 4),
+            "dead_fraction_final": round(float(dead.mean()), 4),
+            "alive_and_upright_final": round(upright, 4),
             "device": str(jax.devices()[0]),
             # which rollout kernel the batched solver actually selected
             # (the 'auto' path preflight-compiles the fused Pallas kernel

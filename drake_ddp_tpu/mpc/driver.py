@@ -36,6 +36,13 @@ class MPCConfig(NamedTuple):
     # resolves, tools/probe_fall.py); the closed-loop seed keeps the
     # incumbent bounded.  False = reference behavior.
     policy_warm_start: bool = False
+    # Latch divergence: once a lane's resolve diverges, freeze it for the
+    # rest of the chain (its solves exit at iteration 0 and it coasts on
+    # the last-good policy).  A dead lane otherwise re-diverges every
+    # resolve, and in a batched while_loop every live lane waits through
+    # its max-depth Levenberg retries.  The lane stays flagged diverged
+    # in MPCResult for every remaining resolve.  False = keep retrying.
+    freeze_diverged: bool = False
 
 
 class MPCResult(NamedTuple):
@@ -81,6 +88,11 @@ def mpc_solve(
     Pure function — vmap over problems for batched scenario MPC.
     """
     N, rs = cfg.num_steps, mpc.replan_steps
+    if mpc.freeze_diverged and not mpc.policy_warm_start:
+        raise ValueError(
+            "freeze_diverged requires policy_warm_start: a frozen lane's "
+            "solve returns its warm-start trajectory, which without the "
+            "policy seed is the zeros init")
     sol0 = solve_ilqr(system, cfg, prob)
     x0c, u0c, K0c = sol0.x, sol0.u, sol0.K
     if mpc.policy_warm_start and prob.K_init is not None:
@@ -92,34 +104,41 @@ def mpc_solve(
         u0c = sel0(prob.u_init, sol0.u)
         K0c = sel0(prob.K_init, sol0.K)
 
+    dead0 = sol0.diverged if mpc.freeze_diverged else jnp.asarray(False)
+    if prob.frozen is not None:
+        dead0 = dead0 | prob.frozen
+
     def resolve(carry, _):
-        x_prev, u_prev, K_prev, x_nom = carry
+        x_prev, u_prev, K_prev, x_nom, dead = carry
         u_guess = shift_warm_start(u_prev, rs)
         x0 = x_prev[rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
         p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        if mpc.freeze_diverged:
+            p = p._replace(frozen=dead)
         if mpc.policy_warm_start:
             K_guess = _shift_tape(K_prev, rs)
             x_guess = _shift_tape(x_prev, rs)
             p = p._replace(K_init=K_guess, x_ref_init=x_guess)
         sol = solve_ilqr(system, cfg, p)
+        div = sol.diverged | dead
         x_new, u_new, K_new = sol.x, sol.u, sol.K
         if mpc.policy_warm_start:
             # a diverged solve's trajectory/gains are garbage (its
             # backward passes ran on a blown-up or zeros-derivative
             # iterate); coast on the shifted last-good policy instead so
             # one bad resolve cannot poison the rest of the chain
-            bad = sol.diverged
-            selt = lambda a, b: jnp.where(bad, a, b)
+            selt = lambda a, b: jnp.where(div, a, b)
             x_new = selt(x_guess, sol.x)
             u_new = selt(u_guess, sol.u)
             K_new = selt(K_guess, sol.K)
-        return (x_new, u_new, K_new, x_nom_new), (
-            x_new, sol.cost, sol.iterations, sol.diverged)
+        dead_new = div if mpc.freeze_diverged else dead
+        return (x_new, u_new, K_new, x_nom_new, dead_new), (
+            x_new, sol.cost, sol.iterations, div)
 
-    (x_last, u_last, K_last, _), (xs, costs, iters, divs) = jax.lax.scan(
+    (x_last, u_last, K_last, _, _), (xs, costs, iters, divs) = jax.lax.scan(
         resolve,
-        (x0c, u0c, K0c, prob.x_nom),
+        (x0c, u0c, K0c, prob.x_nom, dead0),
         None,
         length=mpc.num_resolves,
     )
@@ -141,7 +160,8 @@ def mpc_solve(
         states=states,
         costs=jnp.concatenate([sol0.cost[None], costs]),
         iterations=jnp.concatenate([sol0.iterations[None], iters]),
-        diverged=jnp.concatenate([sol0.diverged[None], divs]),
+        diverged=jnp.concatenate(
+            [(sol0.diverged | dead0)[None], divs]),
         final_x=x_last,
         final_u=u_last,
         final_K=K_last,
@@ -172,6 +192,11 @@ def mpc_solve_batched(
     from drake_ddp_tpu.solver.batched import solve_ilqr_batched
 
     N, rs = cfg.num_steps, mpc.replan_steps
+    if mpc.freeze_diverged and not mpc.policy_warm_start:
+        raise ValueError(
+            "freeze_diverged requires policy_warm_start: a frozen lane's "
+            "solve returns its warm-start trajectory, which without the "
+            "policy seed is the zeros init")
     solve = lambda p: solve_ilqr_batched(system, cfg, p,
                                          rollout_kernel=rollout_kernel,
                                          deriv_kernel=deriv_kernel)
@@ -185,34 +210,41 @@ def mpc_solve_batched(
         x0c = sel0(prob.x_ref_init, sol0.x)
         u0c = sel0(prob.u_init, sol0.u)
         K0c = sel0(prob.K_init, sol0.K)
+    dead0 = (sol0.diverged if mpc.freeze_diverged
+             else jnp.zeros(sol0.diverged.shape, bool))
+    if prob.frozen is not None:
+        dead0 = dead0 | prob.frozen
 
     def resolve(carry, _):
-        x_prev, u_prev, K_prev, x_nom = carry
+        x_prev, u_prev, K_prev, x_nom, dead = carry
         u_guess = shift_warm_start_batched(u_prev, rs)
         x0 = x_prev[:, rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
         p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        if mpc.freeze_diverged:
+            p = p._replace(frozen=dead)
         if mpc.policy_warm_start:
             K_guess = _shift_tape(K_prev, rs, time_axis=1)
             x_guess = _shift_tape(x_prev, rs, time_axis=1)
             p = p._replace(K_init=K_guess, x_ref_init=x_guess)
         sol = solve(p)
+        div = sol.diverged | dead
         x_new, u_new, K_new = sol.x, sol.u, sol.K
         if mpc.policy_warm_start:
             # coast diverged lanes on the shifted last-good policy (see
             # the unbatched resolve above)
-            bad = sol.diverged
             selt = lambda a, b: jnp.where(
-                bad.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+                div.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
             x_new = selt(x_guess, sol.x)
             u_new = selt(u_guess, sol.u)
             K_new = selt(K_guess, sol.K)
-        return (x_new, u_new, K_new, x_nom_new), (
-            x_new, sol.cost, sol.iterations, sol.diverged)
+        dead_new = div if mpc.freeze_diverged else dead
+        return (x_new, u_new, K_new, x_nom_new, dead_new), (
+            x_new, sol.cost, sol.iterations, div)
 
-    (x_last, u_last, K_last, _), (xs, costs, iters, divs) = jax.lax.scan(
+    (x_last, u_last, K_last, _, _), (xs, costs, iters, divs) = jax.lax.scan(
         resolve,
-        (x0c, u0c, K0c, prob.x_nom),
+        (x0c, u0c, K0c, prob.x_nom, dead0),
         None,
         length=mpc.num_resolves,
     )

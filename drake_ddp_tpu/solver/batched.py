@@ -433,11 +433,14 @@ def solve_ilqr_batched(
         )
 
     def lane_cond(state):
-        return (
+        c = (
             ((state.improvement > cfg.delta) | state.retry)
             & (state.iteration < cfg.max_iters)
             & ~state.diverged
         )
+        if prob.frozen is not None:
+            c = c & ~prob.frozen
+        return c
 
     def cond(state):
         return jnp.any(lane_cond(state))

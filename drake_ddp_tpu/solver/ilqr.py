@@ -146,6 +146,13 @@ class ILQRProblem(NamedTuple):
     u_init: jax.Array
     K_init: Optional[jax.Array] = None
     x_ref_init: Optional[jax.Array] = None
+    # Optional () / (B,) bool: skip this scenario entirely — the solver
+    # exits at iteration 0 with the warm-start trajectory and L = inf.
+    # Used by the MPC driver to stop spending iterations on lanes whose
+    # chain has already died (MPCConfig.freeze_diverged): a dead lane
+    # otherwise re-diverges every resolve, and in a batched while_loop
+    # every live lane waits for its max-depth retries.
+    frozen: Optional[jax.Array] = None
 
 
 class ILQRStats(NamedTuple):
@@ -533,11 +540,14 @@ def solve_ilqr(
         )
 
     def cond(state: _LoopState):
-        return (
+        c = (
             ((state.improvement > cfg.delta) | state.retry)
             & (state.iteration < cfg.max_iters)
             & ~state.diverged
         )
+        if prob.frozen is not None:
+            c = c & ~prob.frozen
+        return c
 
     stats0 = ILQRStats(
         cost=jnp.zeros(cfg.max_iters, dtype),

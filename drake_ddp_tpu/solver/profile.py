@@ -144,7 +144,8 @@ def profiled_solve(
     while True:
         cond = ((float(state.improvement) > cfg.delta or bool(state.retry))
                 and int(state.iteration) < cfg.max_iters
-                and not bool(state.diverged))
+                and not bool(state.diverged)
+                and not (prob.frozen is not None and bool(prob.frozen)))
         if not cond:
             break
 
@@ -325,11 +326,14 @@ def profiled_solve_batched(
     update_jit = jax.jit(update)
 
     def lane_cond(state):
-        return (
+        c = (
             ((state.improvement > cfg.delta) | state.retry)
             & (state.iteration < cfg.max_iters)
             & ~state.diverged
         )
+        if prob.frozen is not None:
+            c = c & ~prob.frozen
+        return c
 
     stats0 = ILQRStats(
         cost=jnp.zeros((B, cfg.max_iters), dtype),

@@ -30,7 +30,7 @@ RESOLVE_CHUNK = 5
 JAC_CHUNK = 8
 
 
-def build(batch):
+def build(batch, contact_iters=None):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,8 @@ def build(batch):
     from drake_ddp_tpu.solver import keypoints as kp
     from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
 
-    cfg = mc.Config()
+    cfg = mc.Config() if contact_iters is None else mc.Config(
+        contact_iters=contact_iters)
     system, _ = mc.build_system(cfg)
     N = int(cfg.T / cfg.dt)
     Q, R, Qf = mc.costs(cfg)

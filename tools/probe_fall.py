@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def main(max_iters=12, num_chunks=6, minN=8, pws=False):
+def main(max_iters=12, num_chunks=6, minN=8, pws=False,
+         contact_iters=None):
     import jax
 
     try:
@@ -40,7 +41,8 @@ def main(max_iters=12, num_chunks=6, minN=8, pws=False):
     from drake_ddp_tpu.examples import mini_cheetah as mc
     from drake_ddp_tpu.solver import keypoints as kp
 
-    system, scfg, cfg, shift, make_prob = build(256)
+    system, scfg, cfg, shift, make_prob = build(
+        256, contact_iters=contact_iters)
     derivs = kp.DerivsInterpolation(
         "setInterval", minN=minN, max_keypoints=48 // minN + 1,
         jac_chunk=scfg.derivs.jac_chunk)
@@ -56,7 +58,8 @@ def main(max_iters=12, num_chunks=6, minN=8, pws=False):
     prob = make_prob(0)._replace(x0=x0b)
 
     resolves = []
-    print(f"probe_fall: max_iters={max_iters} minN={minN}, compiling...",
+    print(f"probe_fall: max_iters={max_iters} minN={minN} "
+          f"ci={contact_iters} pws={pws}, compiling...",
           file=sys.stderr, flush=True)
     from drake_ddp_tpu.mpc.driver import _shift_tape
 
@@ -83,9 +86,21 @@ def main(max_iters=12, num_chunks=6, minN=8, pws=False):
                 "iters": int(iters[i]), "cost": round(float(costs[i]), 1),
                 "div": bool(div[i]), "z": round(z_end, 3),
             })
+        # drift diagnostics on the nominal lane's handoff state: position
+        # lag behind the moving target, quaternion alignment with the
+        # standing pose, and the largest velocity anywhere in the final
+        # prediction (an exploding tail shows here first)
+        x0h = np.asarray(prob.x0[0])
+        xnh = np.asarray(prob.x_nom[0])
+        qdot = float(abs(np.dot(x0h[:4], xnh[:4])
+                         / max(np.linalg.norm(x0h[:4]) *
+                               np.linalg.norm(xnh[:4]), 1e-9)))
+        vmax = float(np.abs(np.asarray(res.final_x[0])[:, 19:]).max())
         print(f"probe_fall: chunk {c} iters={iters.tolist()} "
               f"costs={np.round(costs, 1).tolist()} "
-              f"z_end={resolves[-1]['z']}", file=sys.stderr, flush=True)
+              f"z_end={resolves[-1]['z']} "
+              f"lag={xnh[4] - x0h[4]:.3f} qdot={qdot:.4f} "
+              f"vmax={vmax:.1f}", file=sys.stderr, flush=True)
         if resolves[-1]["z"] < 0.05:
             print("probe_fall: fallen; stopping early", file=sys.stderr,
                   flush=True)
@@ -99,4 +114,5 @@ if __name__ == "__main__":
     nc = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     mn = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     pw = bool(int(sys.argv[4])) if len(sys.argv) > 4 else False
-    main(mi, nc, mn, pw)
+    ci = int(sys.argv[5]) if len(sys.argv) > 5 else None
+    main(mi, nc, mn, pw, ci)
