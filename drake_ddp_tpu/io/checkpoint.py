@@ -22,8 +22,12 @@ def save_mpc_checkpoint(path: str, prob: ILQRProblem,
                         resolves_done: int,
                         extra: Optional[dict] = None) -> None:
     """Write the batched MPC chain state to one npz archive."""
+    # Optional fields left at their None default (e.g. the policy
+    # warm-start tapes K_init / x_ref_init) are omitted: np.asarray(None)
+    # is an object array, which np.load(allow_pickle=False) rejects.
+    # load_mpc_checkpoint lets the NamedTuple defaults refill them.
     payload = {f"prob_{k}": np.asarray(v)
-               for k, v in prob._asdict().items()}
+               for k, v in prob._asdict().items() if v is not None}
     payload["resolves_done"] = np.asarray(resolves_done)
     for k, v in (extra or {}).items():
         payload[f"extra_{k}"] = np.asarray(v)

@@ -45,6 +45,22 @@ def test_mpc_checkpoint_roundtrip(tmp_path):
     assert done == 37
     assert np.allclose(extras["costs"], 1.0)
     for a, b in zip(prob, prob2):
+        if a is None:
+            assert b is None     # optional fields stay at their default
+        else:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    # populated optional policy-warm-start fields roundtrip too
+    prob_ws = prob._replace(
+        K_init=jnp.asarray(rng.normal(size=(B, N - 1, m, n)), jnp.float32),
+        x_ref_init=jnp.asarray(rng.normal(size=(B, N, n)), jnp.float32),
+        frozen=jnp.zeros(B, bool),
+    )
+    path2 = str(tmp_path / "ckpt_ws.npz")
+    save_mpc_checkpoint(path2, prob_ws, resolves_done=38)
+    prob3, done3, _ = load_mpc_checkpoint(path2)
+    assert done3 == 38
+    for a, b in zip(prob_ws, prob3):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
