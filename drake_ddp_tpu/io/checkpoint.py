@@ -29,8 +29,11 @@ def save_mpc_checkpoint(path: str, prob: ILQRProblem,
     payload = {f"prob_{k}": np.asarray(v)
                for k, v in prob._asdict().items() if v is not None}
     payload["resolves_done"] = np.asarray(resolves_done)
+    # same None rule for extras: an object array saves fine but the
+    # checkpoint then fails at np.load(allow_pickle=False)
     for k, v in (extra or {}).items():
-        payload[f"extra_{k}"] = np.asarray(v)
+        if v is not None:
+            payload[f"extra_{k}"] = np.asarray(v)
     np.savez(path, **payload)
 
 

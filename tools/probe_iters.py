@@ -27,6 +27,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 BATCH = 256
+RESOLVE_CHUNK = 5   # resolves per device call — must match the x_nom
+                    # advance per chunk (bench.py ties both likewise)
 
 
 def main(chunks_before=4):
@@ -48,7 +50,7 @@ def main(chunks_before=4):
 
     system, scfg, cfg, shift, make_prob = build(BATCH, contact_iters=6)
     rs = cfg.replan_steps
-    mpcc = MPCConfig(num_resolves=5, replan_steps=rs,
+    mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs,
                      policy_warm_start=True, freeze_diverged=True)
 
     fn = jax.jit(lambda p: mpc_solve_batched(system, scfg, p, mpcc, shift))
@@ -63,7 +65,7 @@ def main(chunks_before=4):
         prob = prob._replace(
             x0=res.final_x[:, rs],
             u_init=vshift(res.final_u),
-            x_nom=prob.x_nom + shift[None, :] * 5,
+            x_nom=prob.x_nom + shift[None, :] * RESOLVE_CHUNK,
             K_init=_shift_tape(res.final_K, rs, time_axis=1),
             x_ref_init=_shift_tape(res.final_x, rs, time_axis=1),
             frozen=res.diverged[:, -1],
