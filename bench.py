@@ -109,8 +109,14 @@ def main():
     # whole batch ~11 iterations of max-depth Levenberg retries per
     # resolve (measured 3x whole-bench slowdown); latch it and report the
     # dead fraction honestly instead.
+    # freeze_after=3: most bench-scale failures are transient (a single
+    # rough contact handoff); latching at the first one converted a
+    # ~0.3%/resolve transient rate into 43% cumulative dead lanes over
+    # the 119-resolve chain (BENCH_r03).  Three consecutive failures =
+    # genuinely fallen; the lane then freezes (tools/probe_death.py).
     mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs,
-                     policy_warm_start=True, freeze_diverged=True)
+                     policy_warm_start=True, freeze_diverged=True,
+                     freeze_after=3)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
 
@@ -132,7 +138,8 @@ def main():
     # natively-batched solver: linesearch rollouts run through the
     # Pallas mega-step kernel (ops/megastep.py) — measured ~4x faster
     # than jax.vmap(mpc_solve) at this batch on v5e
-    fn = jax.jit(lambda p: mpc_solve_batched(system, scfg, p, mpcc, shift))
+    fn = jax.jit(lambda p, c0: mpc_solve_batched(system, scfg, p, mpcc,
+                                                 shift, consec0=c0))
     vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
 
     # Warmup/compile.  NOTE: inputs must differ between reps and results
@@ -140,7 +147,8 @@ def main():
     # identical executions and block_until_ready may not block.
     import sys
     print("bench: compiling...", file=sys.stderr, flush=True)
-    res = fn(make_prob(1000))
+    consec = jnp.zeros(BATCH, jnp.int32)
+    res = fn(make_prob(1000), consec)
     np.asarray(res.costs)
     print("bench: warm, measuring...", file=sys.stderr, flush=True)
 
@@ -158,7 +166,7 @@ def main():
     st = time.perf_counter()
     diverged = 0.0
     for c in range(NUM_CHUNKS):
-        res = fn(prob)
+        res = fn(prob, consec)
         prob = prob._replace(
             x0=res.final_x[:, rs],
             u_init=vshift(res.final_u),
@@ -167,9 +175,11 @@ def main():
             # final gains + state reference of the last resolve)
             K_init=_shift_tape(res.final_K, rs, time_axis=1),
             x_ref_init=_shift_tape(res.final_x, rs, time_axis=1),
-            # dead-lane latch across the chunk boundary
-            frozen=res.diverged[:, -1],
+            # dead-lane latch + consecutive-failure count across the
+            # chunk boundary (MPCConfig.freeze_after grace)
+            frozen=res.dead,
         )
+        consec = res.consec
         d = float(np.asarray(jnp.mean(res.diverged)))
         diverged += d
         # per-chunk divergence on stderr: distinguishes chains that fall
@@ -184,7 +194,7 @@ def main():
     # coasts on its last-good policy, so its base height stays nominal —
     # alive_and_upright counts only lanes that BOTH never died AND are
     # standing (base height above half the ~0.29 m standing height).
-    dead = np.asarray(res.diverged)[:, -1]
+    dead = np.asarray(res.dead)
     z_ok = np.asarray(prob.x0[:, 6] > 0.15)
     upright = float(np.mean(~dead & z_ok))
 

@@ -36,13 +36,32 @@ class MPCConfig(NamedTuple):
     # resolves, tools/probe_fall.py); the closed-loop seed keeps the
     # incumbent bounded.  False = reference behavior.
     policy_warm_start: bool = False
-    # Latch divergence: once a lane's resolve diverges, freeze it for the
-    # rest of the chain (its solves exit at iteration 0 and it coasts on
-    # the last-good policy).  A dead lane otherwise re-diverges every
-    # resolve, and in a batched while_loop every live lane waits through
-    # its max-depth Levenberg retries.  The lane stays flagged diverged
-    # in MPCResult for every remaining resolve.  False = keep retrying.
+    # Latch divergence: once a lane's resolve diverges ``freeze_after``
+    # times IN A ROW, freeze it for the rest of the chain (its solves
+    # exit at iteration 0 and it coasts on the last-good policy).  A
+    # dead lane otherwise re-diverges every resolve, and in a batched
+    # while_loop every live lane waits through its max-depth Levenberg
+    # retries.  The lane stays flagged diverged in MPCResult for every
+    # remaining resolve.  False = keep retrying forever.
     freeze_diverged: bool = False
+    # Consecutive failed resolves before the latch.  1 = latch on the
+    # first failure.  Most bench-scale failures are TRANSIENT (TPU
+    # round-4 dissection, tools/probe_death.py: a single resolve's
+    # linesearch exhausts through a rough contact handoff, and the same
+    # lane solves cleanly after coasting replan_steps past it), so
+    # latching at the first failure converts a ~0.3%/resolve transient
+    # rate into tens of percent cumulative dead lanes over a 100-resolve
+    # chain.  A small grace (2-3) coasts through transients and still
+    # latches genuinely fallen lanes (which re-fail every resolve).
+    freeze_after: int = 1
+    # A resolve that CONVERGES to a cost above this is treated exactly
+    # like a diverged one (coast on the last-good policy, count toward
+    # the latch): through stiff contact a solve can "converge" in 2-4
+    # iterations to a garbage optimum (blown-up prediction tail whose
+    # quadratic model is degenerate), and accepting its trajectory
+    # poisons every later warm start.  Healthy flagship resolves cost
+    # ~1-50; inf = off.
+    resolve_cost_ceiling: float = float("inf")
 
 
 class MPCResult(NamedTuple):
@@ -53,6 +72,10 @@ class MPCResult(NamedTuple):
     final_x: jax.Array     # (N, n) last solution
     final_u: jax.Array     # (N-1, m) last control tape
     final_K: Optional[jax.Array] = None  # (N-1, m, n) last feedback gains
+    # chain-health latch state (thread across chunked bench calls via
+    # ILQRProblem.frozen / the drivers' ``consec0``):
+    dead: Optional[jax.Array] = None     # () / (B,) latched-dead flag
+    consec: Optional[jax.Array] = None   # () / (B,) consecutive failures
 
 
 def shift_warm_start(u: jax.Array, replan_steps: int) -> jax.Array:
@@ -80,11 +103,14 @@ def mpc_solve(
     prob: ILQRProblem,
     mpc: MPCConfig,
     x_nom_shift: Optional[jax.Array] = None,
+    consec0: Optional[jax.Array] = None,
 ) -> MPCResult:
     """Initial solve + ``mpc.num_resolves`` receding-horizon resolves.
 
     ``x_nom_shift``: optional (n,) target-state advance applied once per
     resolve (the mini-cheetah moving target: velocity * dt * replan).
+    ``consec0``: optional () consecutive-failure count carried in from a
+    previous chunked call (see MPCResult.consec).
     Pure function — vmap over problems for batched scenario MPC.
     """
     N, rs = cfg.num_steps, mpc.replan_steps
@@ -94,22 +120,32 @@ def mpc_solve(
             "solve returns its warm-start trajectory, which without the "
             "policy seed is the zeros init")
     sol0 = solve_ilqr(system, cfg, prob)
+    dead_prior = (prob.frozen if prob.frozen is not None
+                  else jnp.asarray(False))
+    # a resolve is "bad" if the solver diverged OR it converged to a
+    # garbage optimum (see MPCConfig.resolve_cost_ceiling); dead lanes
+    # are excluded (their iteration-0 exit carries L = inf by design)
+    bad0 = (sol0.diverged
+            | ~(sol0.cost <= mpc.resolve_cost_ceiling)) & ~dead_prior
+    div0 = bad0 | dead_prior
     x0c, u0c, K0c = sol0.x, sol0.u, sol0.K
     if mpc.policy_warm_start and prob.K_init is not None:
-        # the chain's entry solve may also diverge: coast on the policy
+        # the chain's entry solve may also fail: coast on the policy
         # it was seeded with (e.g. the previous bench chunk's handoff)
-        bad0 = sol0.diverged
-        sel0 = lambda a, b: jnp.where(bad0, a, b)
+        sel0 = lambda a, b: jnp.where(div0, a, b)
         x0c = sel0(prob.x_ref_init, sol0.x)
         u0c = sel0(prob.u_init, sol0.u)
         K0c = sel0(prob.K_init, sol0.K)
 
-    dead0 = sol0.diverged if mpc.freeze_diverged else jnp.asarray(False)
-    if prob.frozen is not None:
-        dead0 = dead0 | prob.frozen
+    consec = (consec0 if consec0 is not None
+              else jnp.zeros(jnp.shape(bad0), jnp.int32))
+    consec = jnp.where(bad0, consec + 1, jnp.zeros_like(consec))
+    dead0 = dead_prior
+    if mpc.freeze_diverged:
+        dead0 = dead0 | (consec >= mpc.freeze_after)
 
     def resolve(carry, _):
-        x_prev, u_prev, K_prev, x_nom, dead = carry
+        x_prev, u_prev, K_prev, x_nom, dead, consec = carry
         u_guess = shift_warm_start(u_prev, rs)
         x0 = x_prev[rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
@@ -121,10 +157,12 @@ def mpc_solve(
             x_guess = _shift_tape(x_prev, rs)
             p = p._replace(K_init=K_guess, x_ref_init=x_guess)
         sol = solve_ilqr(system, cfg, p)
-        div = sol.diverged | dead
+        bad = (sol.diverged
+               | ~(sol.cost <= mpc.resolve_cost_ceiling)) & ~dead
+        div = bad | dead
         x_new, u_new, K_new = sol.x, sol.u, sol.K
         if mpc.policy_warm_start:
-            # a diverged solve's trajectory/gains are garbage (its
+            # a failed solve's trajectory/gains are garbage (its
             # backward passes ran on a blown-up or zeros-derivative
             # iterate); coast on the shifted last-good policy instead so
             # one bad resolve cannot poison the rest of the chain
@@ -132,13 +170,17 @@ def mpc_solve(
             x_new = selt(x_guess, sol.x)
             u_new = selt(u_guess, sol.u)
             K_new = selt(K_guess, sol.K)
-        dead_new = div if mpc.freeze_diverged else dead
-        return (x_new, u_new, K_new, x_nom_new, dead_new), (
+        consec_new = jnp.where(bad, consec + 1, jnp.zeros_like(consec))
+        dead_new = dead
+        if mpc.freeze_diverged:
+            dead_new = dead_new | (consec_new >= mpc.freeze_after)
+        return (x_new, u_new, K_new, x_nom_new, dead_new, consec_new), (
             x_new, sol.cost, sol.iterations, div)
 
-    (x_last, u_last, K_last, _, _), (xs, costs, iters, divs) = jax.lax.scan(
+    ((x_last, u_last, K_last, _, dead_f, consec_f),
+     (xs, costs, iters, divs)) = jax.lax.scan(
         resolve,
-        (x0c, u0c, K0c, prob.x_nom, dead0),
+        (x0c, u0c, K0c, prob.x_nom, dead0, consec),
         None,
         length=mpc.num_resolves,
     )
@@ -160,11 +202,12 @@ def mpc_solve(
         states=states,
         costs=jnp.concatenate([sol0.cost[None], costs]),
         iterations=jnp.concatenate([sol0.iterations[None], iters]),
-        diverged=jnp.concatenate(
-            [(sol0.diverged | dead0)[None], divs]),
+        diverged=jnp.concatenate([div0[None], divs]),
         final_x=x_last,
         final_u=u_last,
         final_K=K_last,
+        dead=dead_f,
+        consec=consec_f,
     )
 
 
@@ -183,6 +226,7 @@ def mpc_solve_batched(
     x_nom_shift: Optional[jax.Array] = None,
     rollout_kernel: str = "auto",
     deriv_kernel: str = "auto",
+    consec0: Optional[jax.Array] = None,
 ) -> MPCResult:
     """Batched mirror of :func:`mpc_solve` built on
     solver/batched.solve_ilqr_batched: ``prob`` leaves carry a leading
@@ -201,22 +245,28 @@ def mpc_solve_batched(
                                          rollout_kernel=rollout_kernel,
                                          deriv_kernel=deriv_kernel)
     sol0 = solve(prob)
+    dead_prior = (prob.frozen if prob.frozen is not None
+                  else jnp.zeros(sol0.diverged.shape, bool))
+    bad0 = (sol0.diverged
+            | ~(sol0.cost <= mpc.resolve_cost_ceiling)) & ~dead_prior
+    div0 = bad0 | dead_prior
     x0c, u0c, K0c = sol0.x, sol0.u, sol0.K
     if mpc.policy_warm_start and prob.K_init is not None:
-        # coast a diverged entry solve on its seed policy (see mpc_solve)
-        bad0 = sol0.diverged
+        # coast a failed entry solve on its seed policy (see mpc_solve)
         sel0 = lambda a, b: jnp.where(
-            bad0.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+            div0.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
         x0c = sel0(prob.x_ref_init, sol0.x)
         u0c = sel0(prob.u_init, sol0.u)
         K0c = sel0(prob.K_init, sol0.K)
-    dead0 = (sol0.diverged if mpc.freeze_diverged
-             else jnp.zeros(sol0.diverged.shape, bool))
-    if prob.frozen is not None:
-        dead0 = dead0 | prob.frozen
+    consec = (consec0 if consec0 is not None
+              else jnp.zeros(sol0.diverged.shape, jnp.int32))
+    consec = jnp.where(bad0, consec + 1, jnp.zeros_like(consec))
+    dead0 = dead_prior
+    if mpc.freeze_diverged:
+        dead0 = dead0 | (consec >= mpc.freeze_after)
 
     def resolve(carry, _):
-        x_prev, u_prev, K_prev, x_nom, dead = carry
+        x_prev, u_prev, K_prev, x_nom, dead, consec = carry
         u_guess = shift_warm_start_batched(u_prev, rs)
         x0 = x_prev[:, rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
@@ -228,23 +278,29 @@ def mpc_solve_batched(
             x_guess = _shift_tape(x_prev, rs, time_axis=1)
             p = p._replace(K_init=K_guess, x_ref_init=x_guess)
         sol = solve(p)
-        div = sol.diverged | dead
+        bad = (sol.diverged
+               | ~(sol.cost <= mpc.resolve_cost_ceiling)) & ~dead
+        div = bad | dead
         x_new, u_new, K_new = sol.x, sol.u, sol.K
         if mpc.policy_warm_start:
-            # coast diverged lanes on the shifted last-good policy (see
+            # coast failed lanes on the shifted last-good policy (see
             # the unbatched resolve above)
             selt = lambda a, b: jnp.where(
                 div.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
             x_new = selt(x_guess, sol.x)
             u_new = selt(u_guess, sol.u)
             K_new = selt(K_guess, sol.K)
-        dead_new = div if mpc.freeze_diverged else dead
-        return (x_new, u_new, K_new, x_nom_new, dead_new), (
+        consec_new = jnp.where(bad, consec + 1, jnp.zeros_like(consec))
+        dead_new = dead
+        if mpc.freeze_diverged:
+            dead_new = dead_new | (consec_new >= mpc.freeze_after)
+        return (x_new, u_new, K_new, x_nom_new, dead_new, consec_new), (
             x_new, sol.cost, sol.iterations, div)
 
-    (x_last, u_last, K_last, _, _), (xs, costs, iters, divs) = jax.lax.scan(
+    ((x_last, u_last, K_last, _, dead_f, consec_f),
+     (xs, costs, iters, divs)) = jax.lax.scan(
         resolve,
-        (x0c, u0c, K0c, prob.x_nom, dead0),
+        (x0c, u0c, K0c, prob.x_nom, dead0, consec),
         None,
         length=mpc.num_resolves,
     )
@@ -265,8 +321,10 @@ def mpc_solve_batched(
         states=states,
         costs=cat(sol0.cost, costs),
         iterations=cat(sol0.iterations, iters),
-        diverged=cat(sol0.diverged, divs),
+        diverged=cat(div0, divs),
         final_x=x_last,
         final_u=u_last,
         final_K=K_last,
+        dead=dead_f,
+        consec=consec_f,
     )

@@ -11,8 +11,8 @@ from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem, solve_ilqr
 
 
 def _tile_prob(prob, B, x0_jitter=None):
-    tile = lambda a: jnp.tile(jnp.asarray(a, jnp.float32)[None],
-                              (B,) + (1,) * np.ndim(a))
+    tile = lambda a: None if a is None else jnp.tile(
+        jnp.asarray(a, jnp.float32)[None], (B,) + (1,) * np.ndim(a))
     p = ILQRProblem(*[tile(l) for l in prob])
     if x0_jitter is not None:
         p = p._replace(x0=p.x0 + x0_jitter)

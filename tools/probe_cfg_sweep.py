@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Sweep solver-config variants on the bench chain (real TPU).
+
+PERF.md round-3 phase split: forward (linesearch rollouts) 0.50 /
+derivatives 0.32 / backward 0.18.  The forward share is dominated by
+``ls_parallel`` candidates evaluated per round (throughput-bound: C=4
+costs 4x one rollout across the batch) and by failing lanes grinding
+the eps schedule to eps_min=1e-8 (~7 chunk rounds) inside the Levenberg
+retry ladder.  This sweeps the candidate levers on short warm chains:
+
+- ls_parallel: 4 (round-3 bench) vs 2 — accepts concentrate in the
+  first round (86% measured), so halving the round width halves most
+  forward-pass compute if acceptance still lands in round 1.
+- eps_min: 1e-8 (reference) vs 1e-4 — accepts below ~1e-4 are f32 cost
+  noise (that finding motivated ls_expected_floor), so deep
+  backtracking only pads the cost of failure.
+- contact_iters: 6 (round-3 bench) vs 4 — with the chain-health grace
+  (MPCConfig.freeze_after) recovering transient failures, the cheaper
+  Newton may be viable again.
+
+Usage: python tools/probe_cfg_sweep.py [num_chunks] [variant...]
+  variant = lsp,eps_min,contact_iters e.g. 2,1e-4,6
+Prints one JSON line per variant + a summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(__file__))
+
+MAX_ITERS = 12
+FREEZE_AFTER = 3
+
+
+def run_variant(num_chunks, lsp, eps_min, contact_iters):
+    import jax
+    import jax.numpy as jnp
+
+    from bench_sweep import build
+    from drake_ddp_tpu.mpc.driver import (MPCConfig, _shift_tape,
+                                          mpc_solve_batched,
+                                          shift_warm_start_batched)
+
+    system, scfg, cfg, shift, make_prob = build(
+        256, contact_iters=contact_iters)
+    scfg = scfg._replace(max_iters=MAX_ITERS, ls_parallel=lsp,
+                         eps_min=eps_min)
+    rs = cfg.replan_steps
+    mpcc = MPCConfig(num_resolves=5, replan_steps=rs,
+                     policy_warm_start=True, freeze_diverged=True,
+                     freeze_after=FREEZE_AFTER)
+    fn = jax.jit(lambda p, c: mpc_solve_batched(system, scfg, p, mpcc,
+                                                shift, consec0=c))
+    vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
+
+    tag = f"lsp={lsp} eps_min={eps_min} ci={contact_iters}"
+    print(f"{tag}: compiling...", file=sys.stderr, flush=True)
+    prob = make_prob(1000)
+    consec = jnp.zeros(256, jnp.int32)
+    res = fn(prob, consec)
+    np.asarray(res.costs)
+
+    prob = make_prob(0)
+    consec = jnp.zeros(256, jnp.int32)
+    st = time.perf_counter()
+    div = 0.0
+    for c in range(num_chunks):
+        res = fn(prob, consec)
+        prob = prob._replace(
+            x0=res.final_x[:, rs],
+            u_init=vshift(res.final_u),
+            x_nom=prob.x_nom + shift[None, :] * 5,
+            K_init=_shift_tape(res.final_K, rs, time_axis=1),
+            x_ref_init=_shift_tape(res.final_x, rs, time_axis=1),
+            frozen=res.dead,
+        )
+        consec = res.consec
+        div += float(np.asarray(res.diverged).mean())
+    np.asarray(res.costs)
+    el = time.perf_counter() - st
+    dead = float(np.asarray(res.dead).mean())
+    upright = float(np.asarray(
+        (prob.x0[:, 6] > 0.15) & ~res.dead).mean())
+    rps = 256 * (6 * num_chunks - 1) / el
+    out = {"variant": tag, "seconds": round(el, 1),
+           "resolves_per_s": round(rps, 1),
+           "runs_per_s_chip": round(rps / 100.0, 4),
+           "mean_div": round(div / num_chunks, 4),
+           "dead": round(dead, 4), "alive_upright": round(upright, 4)}
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main(num_chunks, variants):
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    results = []
+    for lsp, em, ci in variants:
+        try:
+            results.append(run_variant(num_chunks, lsp, em, ci))
+        except Exception as e:
+            print(json.dumps({"variant": f"lsp={lsp} eps_min={em} ci={ci}",
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    if results:
+        best = max(results, key=lambda r: r["resolves_per_s"])
+        print(json.dumps({"best": best}))
+
+
+if __name__ == "__main__":
+    nc = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    vs = []
+    for a in sys.argv[2:]:
+        lsp, em, ci = a.split(",")
+        vs.append((int(lsp), float(em), int(ci)))
+    if not vs:
+        vs = [(4, 1e-8, 6), (2, 1e-8, 6), (4, 1e-4, 6), (4, 1e-8, 4)]
+    main(nc, vs)
