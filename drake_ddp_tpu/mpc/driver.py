@@ -45,14 +45,16 @@ class MPCConfig(NamedTuple):
     # remaining resolve.  False = keep retrying forever.
     freeze_diverged: bool = False
     # Consecutive failed resolves before the latch.  1 = latch on the
-    # first failure.  Most bench-scale failures are TRANSIENT (TPU
-    # round-4 dissection, tools/probe_death.py: a single resolve's
-    # linesearch exhausts through a rough contact handoff, and the same
-    # lane solves cleanly after coasting replan_steps past it), so
-    # latching at the first failure converts a ~0.3%/resolve transient
-    # rate into tens of percent cumulative dead lanes over a 100-resolve
-    # chain.  A small grace (2-3) coasts through transients and still
-    # latches genuinely fallen lanes (which re-fail every resolve).
+    # first failure.  TPU round-4 dissection (tools/probe_death.py,
+    # batch 256 x 72 resolves): failures are PERSISTENT but not
+    # physical — p(fail | prev fail) = 0.9986 while only 0.8% of lanes
+    # actually fell (99.2% upright at chain end).  A failed lane's
+    # coasted seed (the shifted stale tape whose prediction tail blew
+    # up) is handed to every later resolve, so without intervention it
+    # never finds a finite incumbent again.  The grace window is what
+    # gives the rescue seed (``rescue_u`` in the drivers) its attempts:
+    # fail -> rescue tries while consec < freeze_after -> latch only if
+    # even the rescue seed cannot recover the lane.
     freeze_after: int = 1
     # A resolve that CONVERGES to a cost above this is treated exactly
     # like a diverged one (coast on the last-good policy, count toward
@@ -104,6 +106,7 @@ def mpc_solve(
     mpc: MPCConfig,
     x_nom_shift: Optional[jax.Array] = None,
     consec0: Optional[jax.Array] = None,
+    rescue_u: Optional[jax.Array] = None,
 ) -> MPCResult:
     """Initial solve + ``mpc.num_resolves`` receding-horizon resolves.
 
@@ -111,6 +114,14 @@ def mpc_solve(
     resolve (the mini-cheetah moving target: velocity * dt * replan).
     ``consec0``: optional () consecutive-failure count carried in from a
     previous chunked call (see MPCResult.consec).
+    ``rescue_u``: optional (N-1, m) safe default control tape (e.g. the
+    chain entry's standing-torque init).  A lane whose PREVIOUS resolve
+    failed is re-seeded with this open-loop tape (zero feedback gains)
+    instead of its coasted stale policy: probe_death.py measured that a
+    failed lane's coasted seed keeps a blown-up prediction tail forever
+    (p(fail | prev fail) = 0.9986 with the robot still standing), while
+    a fresh default-seeded solve from the same handoff state recovers
+    (tools/probe_rescue.py).  None = coast forever (probe behavior).
     Pure function — vmap over problems for batched scenario MPC.
     """
     N, rs = cfg.num_steps, mpc.replan_steps
@@ -119,9 +130,20 @@ def mpc_solve(
             "freeze_diverged requires policy_warm_start: a frozen lane's "
             "solve returns its warm-start trajectory, which without the "
             "policy seed is the zeros init")
-    sol0 = solve_ilqr(system, cfg, prob)
     dead_prior = (prob.frozen if prob.frozen is not None
                   else jnp.asarray(False))
+    prob0 = prob
+    if rescue_u is not None and consec0 is not None:
+        # the previous chunk's last resolve failed: re-seed the entry
+        # solve with the safe default tape (open loop) for that lane
+        resc0 = (consec0 >= 1) & ~dead_prior
+        prob0 = prob0._replace(
+            u_init=jnp.where(resc0, rescue_u, prob.u_init))
+        if mpc.policy_warm_start and prob.K_init is not None:
+            prob0 = prob0._replace(
+                K_init=jnp.where(resc0, jnp.zeros_like(prob.K_init),
+                                 prob.K_init))
+    sol0 = solve_ilqr(system, cfg, prob0)
     # a resolve is "bad" if the solver diverged OR it converged to a
     # garbage optimum (see MPCConfig.resolve_cost_ceiling); dead lanes
     # are excluded (their iteration-0 exit carries L = inf by design)
@@ -149,13 +171,23 @@ def mpc_solve(
         u_guess = shift_warm_start(u_prev, rs)
         x0 = x_prev[rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
-        p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        # rescue: the previous resolve failed -> the coasted seed tape is
+        # stale garbage; seed THIS solve with the safe default instead
+        # (the coast tapes u_guess/K_guess/x_guess still back the
+        # trajectory handoff if this solve fails too)
+        resc = ((consec >= 1) & ~dead) if rescue_u is not None else None
+        u_seed = (u_guess if resc is None
+                  else jnp.where(resc, rescue_u, u_guess))
+        p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_seed)
         if mpc.freeze_diverged:
             p = p._replace(frozen=dead)
         if mpc.policy_warm_start:
             K_guess = _shift_tape(K_prev, rs)
             x_guess = _shift_tape(x_prev, rs)
-            p = p._replace(K_init=K_guess, x_ref_init=x_guess)
+            K_seed = (K_guess if resc is None
+                      else jnp.where(resc, jnp.zeros_like(K_guess),
+                                     K_guess))
+            p = p._replace(K_init=K_seed, x_ref_init=x_guess)
         sol = solve_ilqr(system, cfg, p)
         bad = (sol.diverged
                | ~(sol.cost <= mpc.resolve_cost_ceiling)) & ~dead
@@ -227,12 +259,15 @@ def mpc_solve_batched(
     rollout_kernel: str = "auto",
     deriv_kernel: str = "auto",
     consec0: Optional[jax.Array] = None,
+    rescue_u: Optional[jax.Array] = None,
 ) -> MPCResult:
     """Batched mirror of :func:`mpc_solve` built on
     solver/batched.solve_ilqr_batched: ``prob`` leaves carry a leading
     batch axis B and the MPCResult leaves do too.  The linesearch
     rollouts run through the lane-major / Pallas step (see
-    solver/batched.py) instead of a vmapped per-scenario scan."""
+    solver/batched.py) instead of a vmapped per-scenario scan.
+    ``rescue_u`` ((N-1, m) or (B, N-1, m)): per-lane failed-resolve
+    re-seeding, see :func:`mpc_solve`."""
     from drake_ddp_tpu.solver.batched import solve_ilqr_batched
 
     N, rs = cfg.num_steps, mpc.replan_steps
@@ -244,9 +279,25 @@ def mpc_solve_batched(
     solve = lambda p: solve_ilqr_batched(system, cfg, p,
                                          rollout_kernel=rollout_kernel,
                                          deriv_kernel=deriv_kernel)
-    sol0 = solve(prob)
+    B = prob.x0.shape[0]
     dead_prior = (prob.frozen if prob.frozen is not None
-                  else jnp.zeros(sol0.diverged.shape, bool))
+                  else jnp.zeros((B,), bool))
+    rescue_ub = (None if rescue_u is None else
+                 jnp.broadcast_to(rescue_u, prob.u_init.shape))
+    sel_lane = lambda m, a, b: jnp.where(
+        m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+    prob0 = prob
+    if rescue_ub is not None and consec0 is not None:
+        # previous chunk's last resolve failed: entry solve gets the
+        # safe default seed for that lane (see mpc_solve)
+        resc0 = (consec0 >= 1) & ~dead_prior
+        prob0 = prob0._replace(
+            u_init=sel_lane(resc0, rescue_ub, prob.u_init))
+        if mpc.policy_warm_start and prob.K_init is not None:
+            prob0 = prob0._replace(
+                K_init=sel_lane(resc0, jnp.zeros_like(prob.K_init),
+                                prob.K_init))
+    sol0 = solve(prob0)
     bad0 = (sol0.diverged
             | ~(sol0.cost <= mpc.resolve_cost_ceiling)) & ~dead_prior
     div0 = bad0 | dead_prior
@@ -270,13 +321,21 @@ def mpc_solve_batched(
         u_guess = shift_warm_start_batched(u_prev, rs)
         x0 = x_prev[:, rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
-        p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_guess)
+        # rescue failed lanes with the safe default seed (see mpc_solve);
+        # the coast tapes still back the handoff if this solve fails too
+        resc = ((consec >= 1) & ~dead) if rescue_ub is not None else None
+        u_seed = (u_guess if resc is None
+                  else sel_lane(resc, rescue_ub, u_guess))
+        p = prob._replace(x0=x0, x_nom=x_nom_new, u_init=u_seed)
         if mpc.freeze_diverged:
             p = p._replace(frozen=dead)
         if mpc.policy_warm_start:
             K_guess = _shift_tape(K_prev, rs, time_axis=1)
             x_guess = _shift_tape(x_prev, rs, time_axis=1)
-            p = p._replace(K_init=K_guess, x_ref_init=x_guess)
+            K_seed = (K_guess if resc is None
+                      else sel_lane(resc, jnp.zeros_like(K_guess),
+                                    K_guess))
+            p = p._replace(K_init=K_seed, x_ref_init=x_guess)
         sol = solve(p)
         bad = (sol.diverged
                | ~(sol.cost <= mpc.resolve_cost_ceiling)) & ~dead

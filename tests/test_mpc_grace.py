@@ -96,6 +96,56 @@ def test_batched_latch_and_consec_handoff(pendulum_mpc):
     assert np.asarray(res.consec).tolist() == [0, 3, 3]
 
 
+def test_rescue_seed_recovers_failed_chain(pendulum_mpc):
+    """Mini-reproduction of the TPU persistence finding
+    (tools/probe_death.py): a chain whose seed tape is garbage keeps
+    failing forever under the coast-only policy (every resolve re-coasts
+    the same garbage), while the rescue seed recovers it immediately.
+    Garbage u=500 with max_iters=3 cannot reach cost<=5; the zeros seed
+    converges to ~0.33."""
+    system, scfg, prob = pendulum_mpc
+    scfg = scfg._replace(max_iters=3)
+    N = scfg.num_steps
+    m = prob.u_init.shape[-1]
+    prob = prob._replace(u_init=jnp.full((N - 1, m), 500.0, jnp.float32))
+    rescue = jnp.zeros((N - 1, m), jnp.float32)
+    mpcc = MPCConfig(num_resolves=2, replan_steps=2,
+                     policy_warm_start=True, freeze_diverged=True,
+                     freeze_after=3, resolve_cost_ceiling=5.0)
+    run = lambda ru: jax.jit(lambda p, c: mpc_solve(
+        system, scfg, p, mpcc, consec0=c, rescue_u=ru))(
+        prob, jnp.asarray(1, jnp.int32))
+    r_no = run(None)
+    assert np.asarray(r_no.diverged).all()          # coast never heals
+    r_yes = run(rescue)
+    assert not np.asarray(r_yes.diverged).any()     # rescue heals at once
+    assert float(np.asarray(r_yes.costs)[-1]) < 5.0
+    assert int(np.asarray(r_yes.consec)) == 0
+
+
+def test_rescue_noop_on_healthy_chain(pendulum_mpc):
+    """rescue_u must not perturb a chain that never fails: the rescue
+    mask stays empty, so results are bitwise identical."""
+    system, scfg, prob = pendulum_mpc
+    B = 2
+    tile = lambda a: None if a is None else jnp.tile(
+        jnp.asarray(a, jnp.float32)[None], (B,) + (1,) * np.ndim(a))
+    pb = ILQRProblem(*[tile(l) for l in prob])
+    rescue = jnp.zeros(prob.u_init.shape, jnp.float32)
+    mpcc = MPCConfig(num_resolves=2, replan_steps=2,
+                     policy_warm_start=True, freeze_diverged=True,
+                     freeze_after=3)
+    c0 = jnp.zeros(B, jnp.int32)
+    run = lambda ru: jax.jit(lambda p, c: mpc_solve_batched(
+        system, scfg, p, mpcc, consec0=c, rescue_u=ru))(pb, c0)
+    r_no, r_yes = run(None), run(rescue)
+    assert not np.asarray(r_yes.diverged).any()
+    np.testing.assert_array_equal(np.asarray(r_no.costs),
+                                  np.asarray(r_yes.costs))
+    np.testing.assert_array_equal(np.asarray(r_no.final_x),
+                                  np.asarray(r_yes.final_x))
+
+
 def test_batched_recovery_resets_consec(pendulum_mpc):
     """A chain whose failures are only ever transient must never latch
     with freeze_after=2 even when consec0 starts at 1."""
