@@ -109,14 +109,25 @@ def main():
     # whole batch ~11 iterations of max-depth Levenberg retries per
     # resolve (measured 3x whole-bench slowdown); latch it and report the
     # dead fraction honestly instead.
-    # freeze_after=3: most bench-scale failures are transient (a single
-    # rough contact handoff); latching at the first one converted a
-    # ~0.3%/resolve transient rate into 43% cumulative dead lanes over
-    # the 119-resolve chain (BENCH_r03).  Three consecutive failures =
-    # genuinely fallen; the lane then freezes (tools/probe_death.py).
+    # Chain-health policy (TPU round-4 dissection, tools/probe_death.py
+    # + probe_rescue.py).  Measured: p(fail | prev fail) = 0.9986 — a
+    # failed lane's coasted seed never heals by itself — while failed
+    # lanes' handoff states carried median max joint velocity 241 rad/s
+    # (healthy: 5), i.e. the corruption enters when a resolve CONVERGES
+    # to a garbage optimum (healthy p90 cost 5.7, garbage 500+) and its
+    # blown-up trajectory is accepted for the handoff.  So:
+    # - resolve_cost_ceiling=150: treat garbage-converged optima as
+    #   failures BEFORE their trajectory poisons the handoff (cold entry
+    #   solves cost ~44; healthy resolves ~1-10),
+    # - rescue_u=U_STAND: re-seed a failed lane's next solve with the
+    #   safe standing tape (measured: rescues 48% even from corrupt
+    #   states; from a clean coasted handoff it should do far better),
+    # - freeze_after=3: latch only lanes that fail 3 resolves in a row
+    #   (i.e. rescue had 2 shots and the coast tape 1).
     mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs,
                      policy_warm_start=True, freeze_diverged=True,
-                     freeze_after=3)
+                     freeze_after=3, resolve_cost_ceiling=150.0)
+    rescue_u = jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32), (N - 1, 1))
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
 
@@ -139,7 +150,8 @@ def main():
     # Pallas mega-step kernel (ops/megastep.py) — measured ~4x faster
     # than jax.vmap(mpc_solve) at this batch on v5e
     fn = jax.jit(lambda p, c0: mpc_solve_batched(system, scfg, p, mpcc,
-                                                 shift, consec0=c0))
+                                                 shift, consec0=c0,
+                                                 rescue_u=rescue_u))
     vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
 
     # Warmup/compile.  NOTE: inputs must differ between reps and results
@@ -197,6 +209,11 @@ def main():
     dead = np.asarray(res.dead)
     z_ok = np.asarray(prob.x0[:, 6] > 0.15)
     upright = float(np.mean(~dead & z_ok))
+    # physical-state sanity: healthy walking lanes carry max joint
+    # velocity ~5 rad/s; a corrupt handoff carries hundreds
+    # (tools/probe_rescue.py) — base z alone misses that
+    maxv = np.abs(np.asarray(prob.x0[:, 19:])).max(axis=1)
+    healthy = float(np.mean(~dead & z_ok & (maxv < 50.0)))
 
     total_resolves = (RESOLVE_CHUNK + 1) * NUM_CHUNKS - 1
     resolves_per_s = BATCH * total_resolves / elapsed
@@ -220,6 +237,7 @@ def main():
             "mean_diverged_fraction": round(diverged / NUM_CHUNKS, 4),
             "dead_fraction_final": round(float(dead.mean()), 4),
             "alive_and_upright_final": round(upright, 4),
+            "alive_upright_sane_v_final": round(healthy, 4),
             "device": str(jax.devices()[0]),
             # which rollout kernel the batched solver actually selected
             # (the 'auto' path preflight-compiles the fused Pallas kernel

@@ -19,8 +19,11 @@ retry ladder.  This sweeps the candidate levers on short warm chains:
   Newton may be viable again.
 
 Usage: python tools/probe_cfg_sweep.py [num_chunks] [variant...]
-  variant = lsp,eps_min,contact_iters e.g. 2,1e-4,6
+  variant = lsp,eps_min,contact_iters[,max_iters] e.g. 2,1e-4,6,12
 Prints one JSON line per variant + a summary line.
+
+All variants run the bench's chain-health policy (rescue seed + garbage
+ceiling + grace latch, see bench.py) so results transfer directly.
 """
 
 import json
@@ -35,30 +38,38 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 MAX_ITERS = 12
 FREEZE_AFTER = 3
+COST_CEILING = 150.0
 
 
-def run_variant(num_chunks, lsp, eps_min, contact_iters):
+def run_variant(num_chunks, lsp, eps_min, contact_iters,
+                max_iters=MAX_ITERS, ceiling=COST_CEILING):
     import jax
     import jax.numpy as jnp
 
     from bench_sweep import build
+    from drake_ddp_tpu.examples import mini_cheetah as mc
     from drake_ddp_tpu.mpc.driver import (MPCConfig, _shift_tape,
                                           mpc_solve_batched,
                                           shift_warm_start_batched)
 
     system, scfg, cfg, shift, make_prob = build(
         256, contact_iters=contact_iters)
-    scfg = scfg._replace(max_iters=MAX_ITERS, ls_parallel=lsp,
+    scfg = scfg._replace(max_iters=max_iters, ls_parallel=lsp,
                          eps_min=eps_min)
     rs = cfg.replan_steps
     mpcc = MPCConfig(num_resolves=5, replan_steps=rs,
                      policy_warm_start=True, freeze_diverged=True,
-                     freeze_after=FREEZE_AFTER)
+                     freeze_after=FREEZE_AFTER,
+                     resolve_cost_ceiling=ceiling)
+    N = scfg.num_steps
+    rescue_u = jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32), (N - 1, 1))
     fn = jax.jit(lambda p, c: mpc_solve_batched(system, scfg, p, mpcc,
-                                                shift, consec0=c))
+                                                shift, consec0=c,
+                                                rescue_u=rescue_u))
     vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
 
-    tag = f"lsp={lsp} eps_min={eps_min} ci={contact_iters}"
+    tag = (f"lsp={lsp} eps_min={eps_min} ci={contact_iters}"
+           f" mi={max_iters} ceil={ceiling}")
     print(f"{tag}: compiling...", file=sys.stderr, flush=True)
     prob = make_prob(1000)
     consec = jnp.zeros(256, jnp.int32)
@@ -70,6 +81,7 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters):
     st = time.perf_counter()
     div = 0.0
     for c in range(num_chunks):
+        t0 = time.perf_counter()
         res = fn(prob, consec)
         prob = prob._replace(
             x0=res.final_x[:, rs],
@@ -80,18 +92,24 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters):
             frozen=res.dead,
         )
         consec = res.consec
-        div += float(np.asarray(res.diverged).mean())
+        d = float(np.asarray(res.diverged).mean())
+        div += d
+        print(f"  chunk {c}: {time.perf_counter() - t0:.1f}s"
+              f" div {d:.4f}", file=sys.stderr, flush=True)
     np.asarray(res.costs)
     el = time.perf_counter() - st
-    dead = float(np.asarray(res.dead).mean())
-    upright = float(np.asarray(
-        (prob.x0[:, 6] > 0.15) & ~res.dead).mean())
+    dead = np.asarray(res.dead)
+    z_ok = np.asarray(prob.x0[:, 6] > 0.15)
+    maxv = np.abs(np.asarray(prob.x0[:, 19:])).max(axis=1)
     rps = 256 * (6 * num_chunks - 1) / el
     out = {"variant": tag, "seconds": round(el, 1),
            "resolves_per_s": round(rps, 1),
            "runs_per_s_chip": round(rps / 100.0, 4),
            "mean_div": round(div / num_chunks, 4),
-           "dead": round(dead, 4), "alive_upright": round(upright, 4)}
+           "dead": round(float(dead.mean()), 4),
+           "alive_upright": round(float((~dead & z_ok).mean()), 4),
+           "healthy": round(
+               float((~dead & z_ok & (maxv < 50.0)).mean()), 4)}
     print(json.dumps(out), flush=True)
     return out
 
@@ -106,11 +124,11 @@ def main(num_chunks, variants):
     except Exception:
         pass
     results = []
-    for lsp, em, ci in variants:
+    for v in variants:
         try:
-            results.append(run_variant(num_chunks, lsp, em, ci))
+            results.append(run_variant(num_chunks, *v))
         except Exception as e:
-            print(json.dumps({"variant": f"lsp={lsp} eps_min={em} ci={ci}",
+            print(json.dumps({"variant": repr(v),
                               "error": f"{type(e).__name__}: {e}"[:300]}),
                   flush=True)
     if results:
@@ -122,8 +140,13 @@ if __name__ == "__main__":
     nc = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     vs = []
     for a in sys.argv[2:]:
-        lsp, em, ci = a.split(",")
-        vs.append((int(lsp), float(em), int(ci)))
+        parts = a.split(",")
+        v = [int(parts[0]), float(parts[1]), int(parts[2])]
+        if len(parts) > 3:
+            v.append(int(parts[3]))
+        if len(parts) > 4:
+            v.append(float(parts[4]))
+        vs.append(tuple(v))
     if not vs:
         vs = [(4, 1e-8, 6), (2, 1e-8, 6), (4, 1e-4, 6), (4, 1e-8, 4)]
     main(nc, vs)
