@@ -7,6 +7,10 @@ float64 on CPU, B=1.  If the f64 chain also collapses around the same
 resolve, the failure is in the cost/robustness structure, not numerics.
 
 Usage: python tools/probe_fall_cpu64.py [max_iters] [num_chunks]
+                                        [contact_iters] [batch]
+``batch > 1`` perturbs initial joint velocities with the bench's 0.05
+noise (seed 0) — the round-4 question: the bench's lane failures are
+stumble cascades seeded by that noise; do they also happen in f64?
 """
 
 import json
@@ -18,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(max_iters=12, num_chunks=20, contact_iters=None):
+def main(max_iters=12, num_chunks=20, contact_iters=None, batch=1):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -54,10 +58,14 @@ def main(max_iters=12, num_chunks=20, contact_iters=None):
                      policy_warm_start=True)
     shift = jnp.zeros(37, jnp.float64).at[4].set(
         cfg.target_vel * cfg.dt * rs)
-    B = 1
+    B = batch
     tile = lambda a, s: jnp.tile(jnp.asarray(a, jnp.float64), s)
+    x0b = tile(x0, (B, 1))
+    if B > 1:
+        x0b = x0b.at[:, 19:].add(0.05 * jax.random.normal(
+            jax.random.PRNGKey(0), (B, 18), jnp.float64))
     prob = ILQRProblem(
-        x0=tile(x0, (B, 1)), x_nom=tile(x_nom, (B, 1)),
+        x0=x0b, x_nom=tile(x_nom, (B, 1)),
         Q=tile(cfg.dt * Q, (B, 1, 1)), R=tile(cfg.dt * R, (B, 1, 1)),
         Qf=tile(Qf, (B, 1, 1)),
         u_init=tile(mc.U_STAND, (B, N - 1, 1)))
@@ -74,18 +82,22 @@ def main(max_iters=12, num_chunks=20, contact_iters=None):
             K_init=_shift_tape(res.final_K, rs, time_axis=1),
             x_ref_init=_shift_tape(res.final_x, rs, time_axis=1),
         )
-        costs = np.asarray(res.costs[0])
-        z = float(np.asarray(prob.x0[0, 6]))
-        vmax = float(np.abs(np.asarray(res.final_x[0])[:, 19:]).max())
-        lag = float(np.asarray(prob.x_nom[0, 4] - prob.x0[0, 4]))
+        costs = np.asarray(res.costs)                    # (B, 6)
+        z = np.asarray(prob.x0[:, 6])
+        vmax = np.abs(np.asarray(res.final_x)[:, :, 19:]).max(axis=(1, 2))
+        lag = np.asarray(prob.x_nom[:, 4] - prob.x0[:, 4])
+        div = np.asarray(res.diverged)
         rec = {"chunk": c, "cost_max": round(float(costs.max()), 1),
-               "z": round(z, 3), "vmax": round(vmax, 1),
-               "lag": round(lag, 3),
-               "iters": np.asarray(res.iterations[0]).tolist()}
+               "div_frac": round(float(div.mean()), 4),
+               "z_min": round(float(z.min()), 3),
+               "vmax": round(float(vmax.max()), 1),
+               "lag_max": round(float(lag.max()), 3),
+               "iters_max": int(np.asarray(res.iterations).max())}
         out.append(rec)
         print(f"cpu64: {rec}", file=sys.stderr, flush=True)
-        if z < 0.05 or not np.isfinite(costs).all():
-            print("cpu64: chain dead", file=sys.stderr, flush=True)
+        if float(z.min()) < 0.05 or not np.isfinite(costs).all():
+            print("cpu64: a lane fell or went non-finite",
+                  file=sys.stderr, flush=True)
             break
     print(json.dumps({"max_iters": max_iters,
                       "contact_iters": contact_iters, "chunks": out}))
