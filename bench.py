@@ -144,6 +144,15 @@ def main():
             Q=tile(cfg.dt * Q), R=tile(cfg.dt * R), Qf=tile(Qf),
             u_init=jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32),
                             (BATCH, N - 1, 1)),
+            # K_init/x_ref_init/frozen MUST be arrays from the start:
+            # the chunk loop fills them after chunk 0, and a None ->
+            # array pytree change would recompile the whole program
+            # INSIDE the timed loop (a ~4 min hidden cost inside
+            # BENCH_r03's measurement).  Zero gains around x0 == the
+            # open-loop u_init seed, so chunk-0 semantics are unchanged.
+            K_init=jnp.zeros((BATCH, N - 1, 12, 37), jnp.float32),
+            x_ref_init=jnp.tile(x0b[:, None], (1, N, 1)),
+            frozen=jnp.zeros((BATCH,), bool),
         )
 
     # natively-batched solver: linesearch rollouts run through the

@@ -66,6 +66,12 @@ def build(batch, contact_iters=None):
             Q=tile(cfg.dt * Q), R=tile(cfg.dt * R), Qf=tile(Qf),
             u_init=jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32),
                             (batch, N - 1, 1)),
+            # arrays (not None) from the start so the chunk loop's
+            # K_init/x_ref_init/frozen handoff does not change the
+            # pytree structure and recompile mid-measurement (bench.py)
+            K_init=jnp.zeros((batch, N - 1, 12, 37), jnp.float32),
+            x_ref_init=jnp.tile(x0b[:, None], (1, N, 1)),
+            frozen=jnp.zeros((batch,), bool),
         )
 
     return system, scfg, cfg, shift, make_prob
