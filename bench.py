@@ -71,14 +71,19 @@ def main():
     from drake_ddp_tpu.solver import keypoints as kp
     from drake_ddp_tpu.solver.ilqr import ILQRConfig, ILQRProblem
 
-    # contact_iters=6: at the example default (4) the implicit Newton
-    # under-resolves high-velocity foot impacts over LONG chains — the
-    # prediction tail accumulates leg-velocity spikes (16 -> 59 -> 457
-    # rad/s, nearly free in the reference's 0.01 leg-velocity weight)
-    # until a resolve converges to a garbage optimum and the chain dies
-    # (~resolve 50).  At 6 iterations the nominal chain walks all 120
-    # resolves (tools/probe_fall.py; PERF.md).
-    cfg = mc.Config(contact_iters=6)
+    # contact_iters=8: the implicit Newton must RESOLVE high-velocity
+    # foot impacts or the prediction tail accumulates leg-velocity
+    # spikes (16 -> 59 -> 457 rad/s, nearly free in the reference's
+    # 0.01 leg-velocity weight) until a resolve converges to a garbage
+    # optimum and the chain dies.  Round-4 attribution: the cascade is
+    # ALGORITHMIC, not f32 (CPU f64 chains at ci=6 blow up at resolve
+    # ~24; at ci=8 they run clean — tools/probe_fall_cpu64.py), and on
+    # TPU ci=8 cut 72-resolve divergence 16% -> 1% at the same
+    # wall-clock (the extra Newton work is offset by eliminated
+    # failure-grind; tools/probe_cfg_sweep.py).  This is also the
+    # Drake-parity direction: TAMSI iterates its implicit solve to
+    # convergence.
+    cfg = mc.Config(contact_iters=8)
     system, _ = mc.build_system(cfg)
     N = int(cfg.T / cfg.dt)
     Q, R, Qf = mc.costs(cfg)
@@ -98,9 +103,17 @@ def main():
     # candidate above 1e4 is an exploded prediction and must never become
     # the incumbent (accepting one feeds garbage gains to the next warm
     # start and poisons the chain — tools/probe_fall.py dissection).
+    # ls_parallel=2 / eps_min=1e-4 (round-4 sweep): accepts concentrate
+    # in the first rollout round (86% measured), so halving the
+    # candidate width cuts most forward-pass compute; accepts below
+    # eps ~1e-4 are f32 cost noise, so the deep backtracking tail only
+    # pads the cost of failure.  Measured TOGETHER with ci=8: 7.6
+    # s/chunk vs 11 at lsp=4, AND lower divergence (0.01% vs 0.5%/72
+    # resolves — the noise-accepts the deep schedule admitted were
+    # hurting, not helping).
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
-                      max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
-                      parallel_backward=False,
+                      max_iters=MAX_ITERS, derivs=derivs, ls_parallel=2,
+                      eps_min=1e-4, parallel_backward=False,
                       ls_expected_floor=cfg.delta, cost_ceiling=1e4)
     # policy_warm_start: seed each resolve with the previous solution's
     # LQR policy — the open-loop tape replay diverges exponentially over
@@ -116,9 +129,11 @@ def main():
     # (healthy: 5), i.e. the corruption enters when a resolve CONVERGES
     # to a garbage optimum (healthy p90 cost 5.7, garbage 500+) and its
     # blown-up trajectory is accepted for the handoff.  So:
-    # - resolve_cost_ceiling=150: treat garbage-converged optima as
+    # - resolve_cost_ceiling=1e3: treat garbage-converged optima as
     #   failures BEFORE their trajectory poisons the handoff (cold entry
-    #   solves cost ~44; healthy resolves ~1-10),
+    #   solves cost ~44; healthy resolves ~1-10; recovering rescues
+    #   300-900 — a tighter 150 ceiling flagged those as failures and
+    #   latched lanes that were healing, measured 0.70 runs/s dead 39%),
     # - rescue_u=U_STAND: re-seed a failed lane's next solve with the
     #   safe standing tape (measured: rescues 48% even from corrupt
     #   states; from a clean coasted handoff it should do far better),
@@ -126,7 +141,7 @@ def main():
     #   (i.e. rescue had 2 shots and the coast tape 1).
     mpcc = MPCConfig(num_resolves=RESOLVE_CHUNK, replan_steps=rs,
                      policy_warm_start=True, freeze_diverged=True,
-                     freeze_after=3, resolve_cost_ceiling=150.0)
+                     freeze_after=3, resolve_cost_ceiling=1e3)
     rescue_u = jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32), (N - 1, 1))
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
