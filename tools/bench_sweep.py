@@ -30,7 +30,7 @@ RESOLVE_CHUNK = 5
 JAC_CHUNK = 8
 
 
-def build(batch, contact_iters=None):
+def build(batch, contact_iters=None, kp_interval=8):
     import jax
     import jax.numpy as jnp
 
@@ -44,8 +44,10 @@ def build(batch, contact_iters=None):
     N = int(cfg.T / cfg.dt)
     Q, R, Qf = mc.costs(cfg)
     x0, x_nom = mc.initial_and_target(cfg)
-    derivs = kp.DerivsInterpolation("setInterval", minN=8,
-                                    max_keypoints=8, jac_chunk=JAC_CHUNK)
+    n_kp = -(-(N - 1) // kp_interval) + 1
+    derivs = kp.DerivsInterpolation("setInterval", minN=kp_interval,
+                                    max_keypoints=min(n_kp, N - 1),
+                                    jac_chunk=JAC_CHUNK)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=4,
                       parallel_backward=False,

@@ -42,7 +42,8 @@ COST_CEILING = 150.0
 
 
 def run_variant(num_chunks, lsp, eps_min, contact_iters,
-                max_iters=MAX_ITERS, ceiling=COST_CEILING):
+                max_iters=MAX_ITERS, ceiling=COST_CEILING,
+                kp_interval=8):
     import jax
     import jax.numpy as jnp
 
@@ -53,7 +54,7 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters,
                                           shift_warm_start_batched)
 
     system, scfg, cfg, shift, make_prob = build(
-        256, contact_iters=contact_iters)
+        256, contact_iters=contact_iters, kp_interval=kp_interval)
     scfg = scfg._replace(max_iters=max_iters, ls_parallel=lsp,
                          eps_min=eps_min)
     rs = cfg.replan_steps
@@ -69,7 +70,7 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters,
     vshift = jax.jit(lambda u: shift_warm_start_batched(u, rs))
 
     tag = (f"lsp={lsp} eps_min={eps_min} ci={contact_iters}"
-           f" mi={max_iters} ceil={ceiling}")
+           f" mi={max_iters} ceil={ceiling} kp={kp_interval}")
     print(f"{tag}: compiling...", file=sys.stderr, flush=True)
     prob = make_prob(1000)
     consec = jnp.zeros(256, jnp.int32)
@@ -146,6 +147,8 @@ if __name__ == "__main__":
             v.append(int(parts[3]))
         if len(parts) > 4:
             v.append(float(parts[4]))
+        if len(parts) > 5:
+            v.append(int(parts[5]))
         vs.append(tuple(v))
     if not vs:
         vs = [(4, 1e-8, 6), (2, 1e-8, 6), (4, 1e-4, 6), (4, 1e-8, 4)]
