@@ -38,7 +38,7 @@ def main(batch=BATCH, rollout_kernel="auto"):
 
     from drake_ddp_tpu.solver.profile import profiled_solve_batched
 
-    system, scfg, cfg, shift, make_prob = build(batch)
+    system, scfg, cfg, shift, make_prob = build(batch, contact_iters=8)
 
     # warm every phase executable (first call pays compiles)
     print("profile: compiling...", file=sys.stderr, flush=True)
