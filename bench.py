@@ -17,7 +17,12 @@ import time
 import numpy as np
 
 BATCH = 256
-MAX_ITERS = 12
+# max_iters=8 (round-4 sweep): the batched while_loop runs until every
+# lane converges, so some lane nearly always rides the cap and
+# per-resolve wall time ~ max_iters.  12 -> 8 measured +30% throughput
+# at ~0.5% healthy-fraction cost (2.84 runs/s, 98.8% healthy over 71
+# resolves); mi=10 splits the difference (tools/probe_cfg_sweep.py).
+MAX_ITERS = 8
 RESOLVE_CHUNK = 5       # resolves per device call (long single executions
 NUM_CHUNKS = 20         # can trip the axon tunnel's watchdog); 20 x 5 =
                         # all 100 resolves of the README.md:61 run are

@@ -3,13 +3,14 @@ flagship bench must keep mean_diverged_fraction < 1%).
 
 Round-1 bench measured 5.9% of lanes diverging from noisy cold starts;
 the stiction-continuation Newton (forces.stiction_schedule) brought the
-measured rate to 0.7% at batch 48 x 6 resolves on CPU
-(tools/probe_divergence.py).  This guard reproduces the bench's exact
+measured rate to 0.7%, and the round-4 config (contact_iters=8 +
+ls_parallel=2 + eps_min=1e-4 + the chain-health policy) to 0.01% over
+119 TPU resolves at batch 256 with ZERO latched-dead lanes
+(BENCH_r04_builder.json).  This guard reproduces the bench's exact
 problem (noisy standing starts, warm-started resolves, same keypoint/
-solver config) at a CI-sized batch and bounds the rate: statistically,
-at p ~ 0.007 per lane-resolve, 64 lane-resolves should see ~0.5
-divergences — 3+ events or a cost blow-up means the cold-start
-robustness regressed.
+solver/chain-health config) at a CI-sized batch: at p ~ 1e-4 per
+lane-resolve, 64 lane-resolves should see 0 divergences — 2+ events or
+a cost blow-up means the bench-path robustness regressed.
 """
 
 import numpy as np
@@ -26,7 +27,7 @@ RESOLVES = 3
 
 
 def test_cold_start_divergence_rate_bounded():
-    cfg = mc.Config()
+    cfg = mc.Config(contact_iters=8)       # bench.py flagship config
     system, _ = mc.build_system(cfg)
     N = int(cfg.T / cfg.dt)
     Q, R, Qf = mc.costs(cfg)
@@ -35,8 +36,13 @@ def test_cold_start_divergence_rate_bounded():
     derivs = kp.DerivsInterpolation("setInterval", minN=8,
                                     max_keypoints=8, jac_chunk=8)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
-                      max_iters=12, derivs=derivs, ls_parallel=4)
-    mpcc = MPCConfig(num_resolves=RESOLVES, replan_steps=rs)
+                      max_iters=12, derivs=derivs, ls_parallel=2,
+                      eps_min=1e-4, ls_expected_floor=cfg.delta,
+                      cost_ceiling=1e4)
+    mpcc = MPCConfig(num_resolves=RESOLVES, replan_steps=rs,
+                     policy_warm_start=True, freeze_diverged=True,
+                     freeze_after=3, resolve_cost_ceiling=1e3)
+    rescue_u = jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32), (N - 1, 1))
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * rs)
 
@@ -54,12 +60,12 @@ def test_cold_start_divergence_rate_bounded():
                         (BATCH, N - 1, 1)),
     )
 
-    res = jax.jit(lambda p: mpc_solve_batched(system, scfg, p, mpcc,
-                                              shift))(probs)
+    res = jax.jit(lambda p: mpc_solve_batched(
+        system, scfg, p, mpcc, shift, rescue_u=rescue_u))(probs)
     div = np.asarray(res.diverged)
     costs = np.asarray(res.costs)
     events = int(div.sum())
-    assert events <= 2, (events, np.argwhere(div))
+    assert events <= 1, (events, np.argwhere(div))
     # the batch median chain is healthy (a systemic regression pushes
     # most lanes to fallen-chain costs of 1e2+)
     assert np.median(costs[np.isfinite(costs)]) < 20.0

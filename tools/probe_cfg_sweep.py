@@ -39,6 +39,10 @@ sys.path.insert(0, os.path.dirname(__file__))
 MAX_ITERS = 12
 FREEZE_AFTER = 3
 COST_CEILING = 150.0
+# batch size override (chip-throughput scaling probe): runs/s/chip is
+# lanes * resolves/s / 100, so a larger batch wins if latency grows
+# sublinearly
+BATCH = int(os.environ.get("DDT_SWEEP_BATCH", "256"))
 
 
 def run_variant(num_chunks, lsp, eps_min, contact_iters,
@@ -54,7 +58,7 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters,
                                           shift_warm_start_batched)
 
     system, scfg, cfg, shift, make_prob = build(
-        256, contact_iters=contact_iters, kp_interval=kp_interval)
+        BATCH, contact_iters=contact_iters, kp_interval=kp_interval)
     scfg = scfg._replace(max_iters=max_iters, ls_parallel=lsp,
                          eps_min=eps_min)
     rs = cfg.replan_steps
@@ -73,12 +77,12 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters,
            f" mi={max_iters} ceil={ceiling} kp={kp_interval}")
     print(f"{tag}: compiling...", file=sys.stderr, flush=True)
     prob = make_prob(1000)
-    consec = jnp.zeros(256, jnp.int32)
+    consec = jnp.zeros(BATCH, jnp.int32)
     res = fn(prob, consec)
     np.asarray(res.costs)
 
     prob = make_prob(0)
-    consec = jnp.zeros(256, jnp.int32)
+    consec = jnp.zeros(BATCH, jnp.int32)
     st = time.perf_counter()
     div = 0.0
     for c in range(num_chunks):
@@ -102,7 +106,7 @@ def run_variant(num_chunks, lsp, eps_min, contact_iters,
     dead = np.asarray(res.dead)
     z_ok = np.asarray(prob.x0[:, 6] > 0.15)
     maxv = np.abs(np.asarray(prob.x0[:, 19:])).max(axis=1)
-    rps = 256 * (6 * num_chunks - 1) / el
+    rps = BATCH * (6 * num_chunks - 1) / el
     out = {"variant": tag, "seconds": round(el, 1),
            "resolves_per_s": round(rps, 1),
            "runs_per_s_chip": round(rps / 100.0, 4),
