@@ -274,6 +274,9 @@ def main():
             "rollout_kernel": batched.KERNEL_SELECTION["rollout"],
             "kernel_fallback_reason":
                 batched.KERNEL_SELECTION["fallback_reason"],
+            "deriv_kernel": batched.KERNEL_SELECTION["derivs"],
+            "deriv_fallback_reason":
+                batched.KERNEL_SELECTION["derivs_fallback_reason"],
         },
     }
     print(json.dumps(result))

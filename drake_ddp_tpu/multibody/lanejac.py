@@ -62,6 +62,13 @@ from drake_ddp_tpu.contact.forces import stiction_schedule
 from drake_ddp_tpu.multibody.model import MultibodyModel
 
 
+def _eye_bcast(n, like):
+    """(n, n, L) broadcast identity — ablation stand-in for inv_small_T."""
+    return jnp.broadcast_to(
+        np.eye(n, dtype=np.float32)[:, :, None], (n, n, like.shape[-1])
+    ).astype(like.dtype)
+
+
 def inv_small_T(A):
     """Gauss-Jordan inverse (no pivoting), lane-major: (n, n, B) -> same.
 
@@ -89,6 +96,7 @@ def make_lane_jac(
     dt: float,
     contact_iters: int = 2,
     force_params: ContactForceParams = ContactForceParams(),
+    _ablate_groups: tuple = (),
 ) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
     """Build ``jac_T(x_L, u_L) -> (fx_L, fu_L)`` with x_L (n, L), u_L
     (m, L); fx_L (n, n, L), fu_L (n, m, L) — the per-lane step Jacobians
@@ -97,6 +105,11 @@ def make_lane_jac(
     Requires the implicit contact path (``contact_iters >= 1``) or a
     contact-free model; the explicit ``contact_iters == 0`` step has a
     different (non-IFT) Jacobian and keeps the jacfwd fallback.
+
+    ``_ablate_groups``: perf-probe hook (tools/probe_jac_split.py) —
+    subset of {"q", "v"}; a named tangent group is replaced by zeros so
+    XLA dead-codes its JVP, isolating its cost.  NEVER set in
+    production paths.
     """
     nq, nv, nu = model.nq, model.nv, model.nu
     n = nq + nv
@@ -158,10 +171,12 @@ def make_lane_jac(
             # tangent_solve)
             _, D = residual_T(vp)
             G = newton_mat(D)
-            Ginv = inv_small_T(G)
+            Ginv = (_eye_bcast(nv, G) if "inv" in _ablate_groups
+                    else inv_small_T(G))
         else:
             vp = v + dt * solve_spd_T(M, tau)
-            Ginv = inv_small_T(M)
+            Ginv = (_eye_bcast(nv, M) if "inv" in _ablate_groups
+                    else inv_small_T(M))
 
         # ---------------- q-tangents (nq full directions) ---------------
         # d res/dq with (v, u, vp) fixed; constant-in-q terms are dropped
@@ -188,7 +203,11 @@ def make_lane_jac(
             dq = jnp.broadcast_to(e[:, None], (nq, L))
             return jax.jvp(res_of_q, (q,), (dq,))[1]     # (nv, L)
 
-        dres_q = jax.vmap(one_q)(jnp.eye(nq, dtype=dtype))   # (nq, nv, L)
+        if "q" in _ablate_groups:
+            dres_q = jnp.zeros((nq, nv, L), dtype)
+        else:
+            dres_q = jax.vmap(one_q)(
+                jnp.eye(nq, dtype=dtype))                # (nq, nv, L)
 
         # ---------------- v-tangents (nv cheap directions) --------------
         # only -M dv + dt d bias/dv dv survives; kinematics are constants
@@ -200,12 +219,27 @@ def make_lane_jac(
             dv = jnp.broadcast_to(e[:, None], (nv, L))
             return jax.jvp(res_of_v, (v,), (dv,))[1]
 
-        dres_v = jax.vmap(one_v)(jnp.eye(nv, dtype=dtype))   # (nv, nv, L)
+        if "v" in _ablate_groups:
+            dres_v = jnp.zeros((nv, nv, L), dtype)
+        else:
+            dres_v = jax.vmap(one_v)(
+                jnp.eye(nv, dtype=dtype))                # (nv, nv, L)
 
         # ---------------- assemble dv' = -G^{-1} dres -------------------
         dres_x = jnp.concatenate([dres_q, dres_v], axis=0)   # (n, nv, L)
-        dvp_x = -sum(Ginv[None, :, j] * dres_x[:, j][:, None]
-                     for j in range(nv))                     # (n, nv, L)
+        if "asm" in _ablate_groups:
+            dvp_x = jnp.zeros((n, nv, L), dtype)
+        else:
+            # unrolled elementwise contraction (Mosaic-safe subset, runs
+            # inside ops/megajac.py); an MXU einsum form was measured
+            # NOT faster in the XLA path (tools/probe_jac_split.py —
+            # the XLA jac is movement-bound across the whole program,
+            # not compute-bound in this contraction)
+            # Ginv[:, j][None], NOT Ginv[None, :, j]: int+newaxis
+            # indexing lowers as a >2D gather, which Mosaic rejects
+            # when this body runs inside ops/megajac.py (CLAUDE.md)
+            dvp_x = -sum(Ginv[:, j][None] * dres_x[:, j][:, None]
+                         for j in range(nv))                 # (n, nv, L)
         if nu:
             # u-directions: dres/du = -dt B  =>  dv' = dt G^{-1} B
             dvp_u = dt * sum(
@@ -228,7 +262,10 @@ def make_lane_jac(
                              (nq, nq, L)),
             jnp.zeros((ndir - nq, nq, L), dtype),
         ], axis=0)
-        dqn_all = jax.vmap(one_int)(dq_in, dvp_all)          # (ndir, nq, L)
+        if "int" in _ablate_groups:
+            dqn_all = jnp.zeros((ndir, nq, L), dtype)
+        else:
+            dqn_all = jax.vmap(one_int)(dq_in, dvp_all)      # (ndir, nq, L)
 
         dx_all = jnp.concatenate([dqn_all, dvp_all], axis=1)  # (ndir, n, L)
         fx = jnp.moveaxis(dx_all[:n], 0, 1)                  # (n, n, L)

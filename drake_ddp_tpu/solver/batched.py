@@ -81,13 +81,49 @@ def _lane_step_for(system: DiscreteSystem, rollout_kernel: str,
     return step
 
 
-# Which rollout path the last solve_ilqr_batched build actually selected
-# (trace-time Python, so readable after jit tracing).  Keys: "rollout"
-# ('fused' | 'megastep' | 'lane'), "fallback_reason" (exception summary
-# when 'auto' degraded, else None).  bench.py reports it in its detail.
-KERNEL_SELECTION = {"rollout": None, "fallback_reason": None}
+# Which rollout/derivative paths the last solve_ilqr_batched build
+# actually selected (trace-time Python, so readable after jit tracing).
+# Keys: "rollout" ('fused' | 'megastep' | 'lane'), "derivs" ('megajac' |
+# 'lane' | 'xla'), "fallback_reason" / "derivs_fallback_reason"
+# (exception summary when 'auto' degraded, else None).  bench.py reports
+# them in its detail.
+KERNEL_SELECTION = {"rollout": None, "fallback_reason": None,
+                    "derivs": None, "derivs_fallback_reason": None}
 
 _PREFLIGHT_OK: set = set()
+
+
+def _pallas_jac_for(system: DiscreteSystem, deriv_kernel: str,
+                    block_b: int = 128):
+    """The Pallas structured-IFT Jacobian kernel (ops/megajac.py), when
+    available.  None = use the lane-major XLA jac.  Same preflight-AOT
+    + fallback discipline as _fused_rollout_for: Mosaic failures must
+    degrade 'auto' instead of killing the whole program compile."""
+    if deriv_kernel not in ("auto", "megajac"):
+        return None
+    if deriv_kernel == "auto" and jax.default_backend() not in (
+            "tpu", "axon"):
+        return None  # pallas compiles for TPU only; CPU tests use lane
+    try:
+        from drake_ddp_tpu.ops.megajac import pallas_jac_for_system
+
+        pjac = pallas_jac_for_system(system, block_b=block_b)
+        if pjac is None:
+            return None
+        key = ("jac", id(system), block_b)
+        if (deriv_kernel == "auto" and key not in _PREFLIGHT_OK
+                and jax.default_backend() in ("tpu", "axon")):
+            s = lambda *sh: jax.ShapeDtypeStruct(sh, jnp.float32)
+            pjac.lower(s(system.n, block_b),
+                       s(system.m, block_b)).compile()
+            _PREFLIGHT_OK.add(key)
+        return pjac
+    except Exception as e:
+        if deriv_kernel == "megajac":
+            raise
+        KERNEL_SELECTION["derivs_fallback_reason"] = (
+            f"{type(e).__name__}: {str(e)[:300]}")
+        return None
 
 
 def _fused_rollout_for(system: DiscreteSystem, rollout_kernel: str,
@@ -326,14 +362,18 @@ def solve_ilqr_batched(
 
     ``rollout_kernel``: 'auto' (Pallas kernel when the system provides a
     lane step, else lane-major XLA), 'pallas', or 'lane'.
-    ``deriv_kernel``: 'auto'/'lane' (structured-IFT lane-major Jacobian
-    kernel when the system provides one, see multibody/lanejac.py) or
-    'xla' (vmapped jax.jacfwd through the per-scenario step).
+    ``deriv_kernel``: 'auto' (Pallas mega-jac kernel on TPU when the
+    system provides a structured-IFT lane jac, degrading to the XLA
+    lane jac on any kernel-compile failure), 'megajac' (explicit,
+    raises on failure), 'lane' (XLA lane-major structured-IFT, see
+    multibody/lanejac.py) or 'xla' (vmapped jax.jacfwd through the
+    per-scenario step).
     """
     cfg.derivs.validate()
     step = system.bound_step()
     N = cfg.num_steps
     KERNEL_SELECTION["fallback_reason"] = None
+    KERNEL_SELECTION["derivs_fallback_reason"] = None
     fused = _fused_rollout_for(system, rollout_kernel, N)
     # when the fused whole-horizon kernel drives the rollout the per-step
     # path is dead code — skip its (expensive) Pallas build
@@ -348,9 +388,17 @@ def solve_ilqr_batched(
     m = prob.u_init.shape[-1]
     dtype = prob.x0.dtype
 
-    jac_T = system.lane_jac_fn if deriv_kernel in ("auto", "lane") else None
-    if deriv_kernel == "lane" and jac_T is None:
+    jac_T = (system.lane_jac_fn
+             if deriv_kernel in ("auto", "lane", "megajac") else None)
+    if deriv_kernel in ("lane", "megajac") and jac_T is None:
         raise ValueError("system provides no lane_jac_fn")
+    pjac = _pallas_jac_for(system, deriv_kernel) if jac_T is not None \
+        else None
+    if pjac is not None:
+        jac_T = pjac
+    KERNEL_SELECTION["derivs"] = (
+        "megajac" if pjac is not None
+        else "lane" if jac_T is not None else "xla")
     if jac_T is not None:
         derivs_fn = partial(kp.compute_derivatives_batched, jac_T,
                             cfg.derivs)
