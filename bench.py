@@ -275,6 +275,7 @@ def main():
             "kernel_fallback_reason":
                 batched.KERNEL_SELECTION["fallback_reason"],
             "deriv_kernel": batched.KERNEL_SELECTION["derivs"],
+            "deriv_root": batched.KERNEL_SELECTION["derivs_root"],
             "deriv_fallback_reason":
                 batched.KERNEL_SELECTION["derivs_fallback_reason"],
         },

@@ -52,6 +52,13 @@ class DiscreteSystem:
     # See multibody/lanejac.py; None = jax.jacfwd through step_fn.
     lane_jac_fn: Any = dataclasses.field(
         default=None, metadata={"static": True})
+    # Optional root-seeded twin of lane_jac_fn:
+    # (x_T (n, L), u_T (m, L), x_next_T (n, L)) -> (fx, fu).  Skips the
+    # jac's internal contact Newton by seeding with the rollout's
+    # already-converged next state (IFT differentiates the root, not
+    # the iteration map).  See multibody/lanejac.py root_seed.
+    lane_jac_root_fn: Any = dataclasses.field(
+        default=None, metadata={"static": True})
 
     def step(self, x: jax.Array, u: jax.Array) -> jax.Array:
         """Compute x_next = f(x, u)."""

@@ -132,8 +132,13 @@ def mpc_solve(
             "policy seed is the zeros init")
     dead_prior = (prob.frozen if prob.frozen is not None
                   else jnp.asarray(False))
+    if rescue_u is not None and consec0 is None:
+        # callers that pass rescue_u without threading a consec count
+        # still get in-loop rescues; make the entry branch an explicit
+        # no-op instead of silently skipping it
+        consec0 = jnp.zeros(jnp.shape(dead_prior), jnp.int32)
     prob0 = prob
-    if rescue_u is not None and consec0 is not None:
+    if rescue_u is not None:
         # the previous chunk's last resolve failed: re-seed the entry
         # solve with the safe default tape (open loop) for that lane
         resc0 = (consec0 >= 1) & ~dead_prior
@@ -174,7 +179,13 @@ def mpc_solve(
         # rescue: the previous resolve failed -> the coasted seed tape is
         # stale garbage; seed THIS solve with the safe default instead
         # (the coast tapes u_guess/K_guess/x_guess still back the
-        # trajectory handoff if this solve fails too)
+        # trajectory handoff if this solve fails too).  x_ref_init stays
+        # the coasted x_guess on purpose: with K_seed = 0 the reference
+        # never enters the first rollout (u = rescue_u open loop), and
+        # the solver enters with L = inf, so that rollout REPLACES the
+        # incumbent unless it is non-finite — the stale reference can
+        # only reach a Levenberg linearization when the lane state is
+        # already garbage, where no reference is meaningful.
         resc = ((consec >= 1) & ~dead) if rescue_u is not None else None
         u_seed = (u_guess if resc is None
                   else jnp.where(resc, rescue_u, u_guess))
@@ -284,10 +295,14 @@ def mpc_solve_batched(
                   else jnp.zeros((B,), bool))
     rescue_ub = (None if rescue_u is None else
                  jnp.broadcast_to(rescue_u, prob.u_init.shape))
+    if rescue_ub is not None and consec0 is None:
+        # see mpc_solve: entry rescue must not silently disappear when
+        # the caller doesn't thread a consec count
+        consec0 = jnp.zeros((B,), jnp.int32)
     sel_lane = lambda m, a, b: jnp.where(
         m.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
     prob0 = prob
-    if rescue_ub is not None and consec0 is not None:
+    if rescue_ub is not None:
         # previous chunk's last resolve failed: entry solve gets the
         # safe default seed for that lane (see mpc_solve)
         resc0 = (consec0 >= 1) & ~dead_prior
@@ -322,7 +337,10 @@ def mpc_solve_batched(
         x0 = x_prev[:, rs]
         x_nom_new = x_nom if x_nom_shift is None else x_nom + x_nom_shift
         # rescue failed lanes with the safe default seed (see mpc_solve);
-        # the coast tapes still back the handoff if this solve fails too
+        # the coast tapes still back the handoff if this solve fails too.
+        # x_ref_init stays the coasted x_guess: see the mpc_solve resolve
+        # comment (K_seed = 0 + L = inf entry make it unreachable except
+        # from an already-garbage lane state).
         resc = ((consec >= 1) & ~dead) if rescue_ub is not None else None
         u_seed = (u_guess if resc is None
                   else sel_lane(resc, rescue_ub, u_guess))

@@ -97,7 +97,11 @@ def make_lane_jac(
     contact_iters: int = 2,
     force_params: ContactForceParams = ContactForceParams(),
     _ablate_groups: tuple = (),
-) -> Callable[[jax.Array, jax.Array], tuple[jax.Array, jax.Array]]:
+    q_mode: str = "vmap",
+    q_group: int = 1,
+    root_seed: bool = False,
+    refine_iters: int = 0,
+) -> Callable[..., tuple[jax.Array, jax.Array]]:
     """Build ``jac_T(x_L, u_L) -> (fx_L, fu_L)`` with x_L (n, L), u_L
     (m, L); fx_L (n, n, L), fu_L (n, m, L) — the per-lane step Jacobians
     d x'/d x and d x'/d u of plant.multibody_step.
@@ -110,6 +114,41 @@ def make_lane_jac(
     subset of {"q", "v"}; a named tangent group is replaced by zeros so
     XLA dead-codes its JVP, isolating its cost.  NEVER set in
     production paths.
+
+    ``q_mode``: how the nq expensive q-tangent directions are evaluated.
+    "vmap" (default, the XLA lane path) materializes all nq tangent
+    copies of the kinematics/narrowphase intermediates at once — fine
+    for XLA's HBM, but a VMEM blow-up inside the Pallas mega-jac kernel
+    (~19 live copies of the (NC, 3, nv, L) contact-Jacobian tangents at
+    flagship sizes; measured: Mosaic compilation dies, round-4 bench
+    fell back).  "loop" linearizes the residual ONCE (primal
+    intermediates computed and held once) and walks the directions with
+    ``lax.fori_loop``, so only one direction's tangent intermediates
+    are live at a time — the form ops/megajac.py compiles.
+
+    ``q_group`` (loop mode only): tangent directions per loop iteration
+    (a small inner vmap).  One direction's ops are (<=8, L)-shaped —
+    poor VPU sublane utilization at L=128 — so grouping a few
+    directions per iteration recovers throughput at g x the VMEM of a
+    single direction.  nq is padded to a multiple of g with zero
+    directions.
+
+    ``root_seed``: the solver already HAS the converged next state from
+    the accepted rollout — so re-running the full contact_iters
+    stiction-continuation Newton inside the jac is pure waste.  With
+    root_seed the returned function takes a third argument
+    ``x_next (n, L)`` (the rollout's step output at the same point) and
+    linearizes THERE.  ``refine_iters`` extra damped polish steps at
+    the final stiction width are available but default to 0: the step
+    map's actual output is the schedule's last iterate, and the
+    linearization point must match it — measured on gait rollouts,
+    refine=0 agrees with the cold-Newton jac to ~6e-5 relative (twin
+    noise), while polish steps move the point toward the fully
+    converged final-width root and introduce ~0.8% fx deviation (the
+    same deviation a 16-iteration cold schedule does NOT show).  From
+    an inconsistent tape (the padding tail of a first-iteration policy
+    warm start) the jac linearizes at the tape's x_{t+1} — degraded
+    but bounded, and only reachable through the Levenberg retry path.
     """
     nq, nv, nu = model.nq, model.nv, model.nu
     n = nq + nv
@@ -119,10 +158,11 @@ def make_lane_jac(
         raise ValueError(
             "lane_jac needs the implicit contact step (contact_iters >= 1)")
 
-    def jac_T(x: jax.Array, u: jax.Array):
+    def jac_T(x: jax.Array, u: jax.Array, x_next=None):
         dtype = x.dtype
         L = x.shape[-1]
         q, v = x[:nq], x[nq:]
+        vp_seed = None if x_next is None else x_next[nq:]
 
         # ---------------- primal (shared by every tangent group) -------
         kinT, M, (J_ang, J_com, I_w, com_w), _ = _kin_mass_T(model, q)
@@ -153,10 +193,17 @@ def make_lane_jac(
                 return M - dt * _outer_sum(Jf, E.reshape(3 * nc, nv, L))
 
             # same continuation damped Newton as lanestep.make_lane_step
-            # (primal only; see forces.stiction_schedule)
-            vp = v + dt * solve_spd_T(M, tau)
-            for vs_eff in stiction_schedule(force_params.stiction_vel,
-                                            contact_iters):
+            # (primal only; see forces.stiction_schedule).  root_seed:
+            # start from the rollout's converged root and polish at the
+            # final width only (the IFT needs the root, not the path).
+            if vp_seed is not None:
+                vp = vp_seed
+                schedule = [force_params.stiction_vel] * refine_iters
+            else:
+                vp = v + dt * solve_spd_T(M, tau)
+                schedule = stiction_schedule(force_params.stiction_vel,
+                                             contact_iters)
+            for vs_eff in schedule:
                 p_it = force_params._replace(stiction_vel=vs_eff)
                 res, D = residual_T(vp, p_it)
                 G = newton_mat(D)
@@ -174,7 +221,8 @@ def make_lane_jac(
             Ginv = (_eye_bcast(nv, G) if "inv" in _ablate_groups
                     else inv_small_T(G))
         else:
-            vp = v + dt * solve_spd_T(M, tau)
+            vp = (vp_seed if vp_seed is not None
+                  else v + dt * solve_spd_T(M, tau))
             Ginv = (_eye_bcast(nv, M) if "inv" in _ablate_groups
                     else inv_small_T(M))
 
@@ -205,6 +253,31 @@ def make_lane_jac(
 
         if "q" in _ablate_groups:
             dres_q = jnp.zeros((nq, nv, L), dtype)
+        elif q_mode == "loop":
+            # primal once, then q_group tangent directions live at a
+            # time.  Mosaic has no dynamic_slice/dynamic_update_slice
+            # lowering, so the one-hot directions and the row-block
+            # write both go through iota-mask selects (elementwise).
+            g = max(1, int(q_group))
+            ng = -(-nq // g)                             # ceil
+            _, res_q_lin = jax.linearize(res_of_q, q)
+            # direction d = k*g + j as a (g, nq, 1) one-hot vs iota
+            col_g = jax.lax.broadcasted_iota(jnp.int32, (g, nq, 1), 0)
+            col_q = jax.lax.broadcasted_iota(jnp.int32, (g, nq, 1), 1)
+            blk4 = jax.lax.broadcasted_iota(jnp.int32, (ng, 1, 1, 1), 0)
+            vlin = jax.vmap(res_q_lin)
+
+            def q_body(k, acc4):
+                d = k * g + col_g                        # (g, nq, 1)
+                dq = jnp.broadcast_to(
+                    (col_q == d).astype(dtype), (g, nq, L))
+                t = vlin(dq)                             # (g, nv, L)
+                return jnp.where(blk4 == k,
+                                 t[None].astype(dtype), acc4)
+
+            acc4 = jax.lax.fori_loop(
+                0, ng, q_body, jnp.zeros((ng, g, nv, L), dtype))
+            dres_q = acc4.reshape(ng * g, nv, L)[:nq]
         else:
             dres_q = jax.vmap(one_q)(
                 jnp.eye(nq, dtype=dtype))                # (nq, nv, L)
@@ -272,4 +345,6 @@ def make_lane_jac(
         fu = jnp.moveaxis(dx_all[n:], 0, 1)                  # (n, nu, L)
         return fx, fu
 
-    return jac_T
+    if root_seed:
+        return lambda x, u, x_next: jac_T(x, u, x_next)
+    return lambda x, u: jac_T(x, u)

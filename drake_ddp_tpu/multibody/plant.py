@@ -219,6 +219,7 @@ def make_multibody_system(
     # implicit contact path has the IFT Jacobian; the explicit
     # contact_iters == 0 step keeps the jacfwd fallback
     lane_jac = None
+    lane_jac_root = None
     has_contact = contact is not None and contact.num_contacts > 0
     if not has_contact or contact_iters >= 1:
         from drake_ddp_tpu.multibody.lanejac import make_lane_jac
@@ -226,6 +227,12 @@ def make_multibody_system(
         lane_jac = make_lane_jac(model, contact, dt,
                                  contact_iters=contact_iters,
                                  force_params=force_params)
+        # root-seeded twin: skips the jac's internal Newton by reusing
+        # the rollout's converged next state (see lanejac root_seed)
+        lane_jac_root = make_lane_jac(model, contact, dt,
+                                      contact_iters=contact_iters,
+                                      force_params=force_params,
+                                      root_seed=True)
     return DiscreteSystem(
         step_fn=step,
         params=(model, contact),
@@ -234,4 +241,5 @@ def make_multibody_system(
         dt=dt,
         lane_step_fn=lane,
         lane_jac_fn=lane_jac,
+        lane_jac_root_fn=lane_jac_root,
     )

@@ -88,13 +88,14 @@ def _lane_step_for(system: DiscreteSystem, rollout_kernel: str,
 # (exception summary when 'auto' degraded, else None).  bench.py reports
 # them in its detail.
 KERNEL_SELECTION = {"rollout": None, "fallback_reason": None,
-                    "derivs": None, "derivs_fallback_reason": None}
+                    "derivs": None, "derivs_fallback_reason": None,
+                    "derivs_root": None}
 
 _PREFLIGHT_OK: set = set()
 
 
 def _pallas_jac_for(system: DiscreteSystem, deriv_kernel: str,
-                    block_b: int = 128):
+                    root: bool = False, block_b: int = 128):
     """The Pallas structured-IFT Jacobian kernel (ops/megajac.py), when
     available.  None = use the lane-major XLA jac.  Same preflight-AOT
     + fallback discipline as _fused_rollout_for: Mosaic failures must
@@ -107,15 +108,18 @@ def _pallas_jac_for(system: DiscreteSystem, deriv_kernel: str,
     try:
         from drake_ddp_tpu.ops.megajac import pallas_jac_for_system
 
-        pjac = pallas_jac_for_system(system, block_b=block_b)
+        pjac = pallas_jac_for_system(system, block_b=block_b,
+                                     root_seed=root)
         if pjac is None:
             return None
-        key = ("jac", id(system), block_b)
+        key = ("jac", id(system), block_b, root)
         if (deriv_kernel == "auto" and key not in _PREFLIGHT_OK
                 and jax.default_backend() in ("tpu", "axon")):
             s = lambda *sh: jax.ShapeDtypeStruct(sh, jnp.float32)
-            pjac.lower(s(system.n, block_b),
-                       s(system.m, block_b)).compile()
+            specs = [s(system.n, block_b), s(system.m, block_b)]
+            if root:
+                specs.append(s(system.n, block_b))
+            jax.jit(pjac).lower(*specs).compile()
             _PREFLIGHT_OK.add(key)
         return pjac
     except Exception as e:
@@ -388,20 +392,27 @@ def solve_ilqr_batched(
     m = prob.u_init.shape[-1]
     dtype = prob.x0.dtype
 
-    jac_T = (system.lane_jac_fn
+    # root-seeded jac preferred when the system provides one: the
+    # trajectory handed to the derivative phase is the accepted rollout,
+    # whose x_{t+1} IS the converged contact root — skipping the jac's
+    # internal Newton (see lanejac root_seed)
+    root = (system.lane_jac_root_fn is not None
+            and deriv_kernel in ("auto", "lane", "megajac"))
+    jac_T = ((system.lane_jac_root_fn if root else system.lane_jac_fn)
              if deriv_kernel in ("auto", "lane", "megajac") else None)
     if deriv_kernel in ("lane", "megajac") and jac_T is None:
         raise ValueError("system provides no lane_jac_fn")
-    pjac = _pallas_jac_for(system, deriv_kernel) if jac_T is not None \
-        else None
+    pjac = _pallas_jac_for(system, deriv_kernel, root=root) \
+        if jac_T is not None else None
     if pjac is not None:
         jac_T = pjac
     KERNEL_SELECTION["derivs"] = (
         "megajac" if pjac is not None
         else "lane" if jac_T is not None else "xla")
+    KERNEL_SELECTION["derivs_root"] = bool(root and jac_T is not None)
     if jac_T is not None:
         derivs_fn = partial(kp.compute_derivatives_batched, jac_T,
-                            cfg.derivs)
+                            cfg.derivs, root=root)
     else:
         derivs_fn = jax.vmap(partial(kp.compute_derivatives, step,
                                      cfg.derivs))

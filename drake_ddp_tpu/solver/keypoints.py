@@ -429,6 +429,7 @@ def compute_derivatives_batched(
     cfg: DerivsInterpolation,
     x: jax.Array,
     u: jax.Array,
+    root: bool = False,
 ):
     """Batched derivative computation through a lane-major Jacobian kernel.
 
@@ -440,7 +441,10 @@ def compute_derivatives_batched(
 
     Args:
         jac_T: lane-major Jacobian kernel
-            (x (n, L), u (m, L)) -> (fx (n, n, L), fu (n, m, L)).
+            (x (n, L), u (m, L)) -> (fx (n, n, L), fu (n, m, L)); with
+            ``root=True`` a root-seeded kernel taking a third
+            x_next (n, L) argument (lanejac root_seed: the trajectory's
+            own next state skips the jac's internal contact Newton).
         cfg: interpolation config (validated).
         x: (B, N, n) trajectories.
         u: (B, N-1, m) control tapes.
@@ -451,17 +455,22 @@ def compute_derivatives_batched(
     m = u.shape[-1]
     T = N - 1
     dtype = x.dtype
+    xn = x[:, 1:]                      # (B, T, n) next states, t -> t+1
 
-    def at_indices(x_k, u_k):
+    def at_indices(x_k, u_k, xn_k=None):
         """Jacobians at gathered keypoints: x_k (B, K, n) -> (B, K, n, n)."""
         K = x_k.shape[1]
-        fx_L, fu_L = jac_T(x_k.reshape(B * K, n).T, u_k.reshape(B * K, m).T)
+        lane = lambda a, d: a.reshape(B * K, d).T
+        if root:
+            fx_L, fu_L = jac_T(lane(x_k, n), lane(u_k, m), lane(xn_k, n))
+        else:
+            fx_L, fu_L = jac_T(lane(x_k, n), lane(u_k, m))
         fx_k = jnp.moveaxis(fx_L.reshape(n, n, B, K), (2, 3), (0, 1))
         fu_k = jnp.moveaxis(fu_L.reshape(n, m, B, K), (2, 3), (0, 1))
         return fx_k, fu_k
 
     def dense():
-        return at_indices(x[:, :-1], u)
+        return at_indices(x[:, :-1], u, xn)
 
     if is_baseline(cfg):
         fx, fu = dense()
@@ -472,11 +481,25 @@ def compute_derivatives_batched(
     if cfg.keypoint_method == SET_INTERVAL:
         mask_np = set_interval_mask(N, cfg.minN)
         idx = np.nonzero(mask_np)[0]
-        fx_k, fu_k = at_indices(x[:, idx], u[:, idx])
-        fx = jnp.zeros((B, T, n, n), dtype).at[:, idx].set(fx_k)
-        fu = jnp.zeros((B, T, n, m), dtype).at[:, idx].set(fu_k)
-        masks = jnp.broadcast_to(jnp.asarray(mask_np), (B, T))
+        fx_k, fu_k = at_indices(x[:, idx], u[:, idx], xn[:, idx])
+        # static schedule -> interpolate DIRECTLY from the compact
+        # (B, K, ...) keypoint stack with trace-time prev/next/weights.
+        # The general path (scatter into a dense zero stack + masked
+        # associative-scan prev/next) costs several extra HBM passes
+        # over the (B, T, n, n) stack — measured ~2/3 of the whole
+        # derivative phase at the flagship bench shapes (PERF.md r5).
+        t_np = np.arange(T)
+        prev_k = np.searchsorted(idx, t_np, side="right") - 1
+        next_k = np.minimum(np.searchsorted(idx, t_np, side="left"),
+                            len(idx) - 1)
+        s_, e_ = idx[prev_k], idx[next_k]
+        w_np = np.where(mask_np, 0.0,
+                        (t_np - s_) / np.maximum(e_ - s_, 1))
+        w = jnp.asarray(w_np, dtype)[None, :, None, None]
+        fx = fx_k[:, prev_k] * (1.0 - w) + fx_k[:, next_k] * w
+        fu = fu_k[:, prev_k] * (1.0 - w) + fu_k[:, next_k] * w
         pct = jnp.full((B,), 100.0 * len(idx) / T, dtype)
+        return fx, fu, pct
     elif cfg.keypoint_method == ADAPTIVE_JERK:
         masks = jax.vmap(lambda xt: adaptive_jerk_mask(cfg, xt, N, n))(x)
         budget = (int(cfg.max_keypoints) if cfg.max_keypoints is not None
@@ -486,7 +509,8 @@ def compute_derivatives_batched(
             lambda mk: jnp.argsort(~mk, stable=True)[:budget])(masks)
         take = lambda a, o: jnp.take_along_axis(
             a, o.reshape(B, budget, *(1,) * (a.ndim - 2)), axis=1)
-        fx_k, fu_k = at_indices(take(x[:, :-1], order), take(u, order))
+        fx_k, fu_k = at_indices(take(x[:, :-1], order), take(u, order),
+                                take(xn, order))
         scat = jax.vmap(lambda z, o, fk: z.at[o].set(fk))
         fx = scat(jnp.zeros((B, T, n, n), dtype), order, fx_k)
         fu = scat(jnp.zeros((B, T, n, m), dtype), order, fu_k)
@@ -495,6 +519,8 @@ def compute_derivatives_batched(
         if cfg.max_keypoints is not None and (N - 2) > cfg.minN:
             return _iterative_error_sparse_batched(
                 at_indices, cfg, x, u, cfg.max_keypoints)
+        # (at_indices closes over root/xn, so the sparse path above and
+        # the dense fallback below both inherit root seeding)
         # Dense fallback: full stack, then replay the bisection on it.
         fx, fu = dense()
         masks = jax.vmap(lambda f: iterative_error_mask(cfg, f, N))(fx)
@@ -530,7 +556,7 @@ def _iterative_error_sparse_batched(
 
     s0, e0, m0 = 0, N - 2, (N - 2) // 2
     idx0 = np.array([s0, m0, e0], np.int32)
-    fx_k, fu_k = at_indices(x[:, idx0], u[:, idx0])
+    fx_k, fu_k = at_indices(x[:, idx0], u[:, idx0], x[:, idx0 + 1])
     fx_buf = fx_buf.at[:, idx0].set(fx_k)
     fu_buf = fu_buf.at[:, idx0].set(fu_k)
     visited = visited.at[:, idx0].set(True)
@@ -550,7 +576,8 @@ def _iterative_error_sparse_batched(
         idx_c = jnp.minimum(idx, T - 1)[..., None]
         fx_k, fu_k = at_indices(
             jnp.take_along_axis(x[:, :T], idx_c, axis=1),
-            jnp.take_along_axis(u, idx_c, axis=1))
+            jnp.take_along_axis(u, idx_c, axis=1),
+            jnp.take_along_axis(x[:, 1:], idx_c, axis=1))
         fx_buf = scat(fx_buf, idx, fx_k)
         fu_buf = scat(fu_buf, idx, fu_k)
         visited = scat(visited, idx, jnp.ones_like(checked))

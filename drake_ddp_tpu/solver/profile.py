@@ -245,13 +245,24 @@ def profiled_solve_batched(
     m = prob.u_init.shape[-1]
     dtype = prob.x0.dtype
 
-    jac_T = (system.lane_jac_fn if deriv_kernel in ("auto", "lane")
-             else None)
-    if deriv_kernel == "lane" and jac_T is None:
+    # mirror solve_ilqr_batched's selection (root-seeded megajac on
+    # TPU, root-seeded lane jac otherwise) so phase fractions measure
+    # the production path
+    from drake_ddp_tpu.solver.batched import _pallas_jac_for
+
+    root = (system.lane_jac_root_fn is not None
+            and deriv_kernel in ("auto", "lane", "megajac"))
+    jac_T = ((system.lane_jac_root_fn if root else system.lane_jac_fn)
+             if deriv_kernel in ("auto", "lane", "megajac") else None)
+    if deriv_kernel in ("lane", "megajac") and jac_T is None:
         raise ValueError("system provides no lane_jac_fn")
+    pjac = _pallas_jac_for(system, deriv_kernel, root=root) \
+        if jac_T is not None else None
+    if pjac is not None:
+        jac_T = pjac
     if jac_T is not None:
         derivs_fn = partial(kp.compute_derivatives_batched, jac_T,
-                            cfg.derivs)
+                            cfg.derivs, root=root)
     else:
         derivs_fn = jax.vmap(partial(kp.compute_derivatives, step,
                                      cfg.derivs))

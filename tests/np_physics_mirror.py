@@ -41,12 +41,15 @@ def softplus(z):
 
 def contact_force_np(phi, normal, v_rel, K, d, mu, dt,
                      smooth_width=3e-3, stiction_vel=1e-3,
-                     force_scale=2.0, relu_eps=1e-3):
+                     force_scale=2.0, relu_eps=1e-3, K1=0.0):
     """Force on body A for one contact, implicit penetration prediction
-    phi' = phi - dt * (n . v_rel)."""
+    phi' = phi - dt * (n . v_rel).  ``K1``: linear elastic-foundation
+    stiffness for flat-face corner contacts (pressure g*phi over a
+    constant tributary area, unlike spheres whose patch grows with
+    phi — spec: contact/forces.py)."""
     vn = float(np.dot(v_rel, normal))
     phi_s = softplus((phi - dt * vn) / smooth_width) * smooth_width
-    fn = force_scale * K * phi_s * phi_s
+    fn = force_scale * K * phi_s * phi_s + K1 * phi_s
     x = 1.0 - d * vn
     fn *= 0.5 * (x + np.sqrt(x * x + relu_eps * relu_eps))  # smooth relu
     vt = v_rel - vn * normal
@@ -74,7 +77,8 @@ def implicit_contact_solve(M, v, tau, contacts, dt, iters, **force_kw):
     finite-difference residual Jacobian (independent of the JAX path's
     analytic one).
 
-    contacts: list of (phi, normal (3,), Jc (3, nv), K, d, mu).
+    contacts: list of (phi, normal (3,), Jc (3, nv), K, d, mu) or the
+    7-tuple form with a trailing K1 (linear foundation stiffness).
     Newton rule per spec (forces.stiction_schedule): stiction-
     regularization continuation — iteration k solves the model with
     stiction_vel inflated to min(max(vs, 0.05), vs * 4^(iters-1-k)),
@@ -87,8 +91,11 @@ def implicit_contact_solve(M, v, tau, contacts, dt, iters, **force_kw):
     def residual(vp, vs_eff):
         kw = dict(force_kw, stiction_vel=vs_eff)
         tau_c = np.zeros(nv)
-        for (phi, n, Jc, K, d, mu) in contacts:
-            f = contact_force_np(phi, n, Jc @ vp, K, d, mu, dt, **kw)
+        for con in contacts:
+            (phi, n, Jc, K, d, mu), K1 = con[:6], (con[6] if len(con) > 6
+                                                  else 0.0)
+            f = contact_force_np(phi, n, Jc @ vp, K, d, mu, dt, K1=K1,
+                                 **kw)
             tau_c += Jc.T @ f
         return M @ (vp - v) - dt * (tau + tau_c)
 
@@ -261,3 +268,256 @@ class FreeBodyOnGround:
         qn = qn / np.linalg.norm(qn)
         posn = pos + self.dt * vp[3:]
         return np.concatenate([qn, posn, vp])
+
+
+# ---------------------------------------------------------------------------
+# floating-base kinematic tree on compliant ground (mini-cheetah class) —
+# D'Alembert virtual work with finite-difference Jacobians
+# ---------------------------------------------------------------------------
+
+def rodrigues(axis, angle):
+    K = hat(axis)
+    return (np.eye(3) + np.sin(angle) * K
+            + (1.0 - np.cos(angle)) * (K @ K))
+
+
+class FloatingTreeMirror:
+    """Independent f64 mirror of a floating-base rigid-body tree with
+    sphere/box ground contacts — the flagship (mini-cheetah) step class.
+
+    Method is deliberately DIFFERENT from the JAX implementation
+    (Jacobian-form CRBA + world-frame Newton-Euler bias + analytic
+    contact Jacobians): here everything derives from D'Alembert's
+    principle with body velocity maps S obtained by CENTRAL FINITE
+    DIFFERENCES of an independently written forward kinematics:
+
+        M(q)    = sum_b m_b S_c^T S_c + S_w^T I_w S_w  (+ armature)
+        h(q, v) = sum_b m_b S_c^T (dS_c/dt v)
+                  + S_w^T (I_w (dS_w/dt v) + w x I_w w)
+        M v' - M v = dt (B u + tau_gravity - h - damping v + Jc^T f(v'))
+        q' = q (+) dt N(q) v'   (quaternion: world-frame rate formula)
+
+    with dS/dt by FD along the flow q + delta N(q) v.  Shared with the
+    JAX code: ONLY the numeric model/contact tables (the problem
+    definition: joint origins/axes, inertias, sphere radii, combined
+    material constants) and the documented force-law spec.
+
+    Joint conventions are URDF's: child frame = parent * X_PJ *
+    Rot(axis, q_j); floating base = X_PJ * quat, world-frame
+    angular/linear velocity dofs.
+    """
+
+    FREE, REVOLUTE, PRISMATIC, FIXED = 0, 1, 2, 3
+
+    def __init__(self, topo, data, contact_tables, dt=4e-3,
+                 contact_iters=8, smooth_width=1e-3, stiction_vel=1e-3):
+        self.t = topo          # parent, joint_type, q_start, v_start, nq, nv
+        self.d = data          # X_PJ_rot/pos, axis, mass, com, inertia,
+        #                        damping, armature, gravity, B (nv, nu)
+        self.c = contact_tables
+        self.dt, self.iters = dt, contact_iters
+        self.force_kw = dict(smooth_width=smooth_width,
+                             stiction_vel=stiction_vel)
+        self.nb = len(topo["parent"])
+        self.nq, self.nv = topo["nq"], topo["nv"]
+
+    # -- forward kinematics (independent implementation) ------------------
+    def fk(self, q):
+        t, d = self.t, self.d
+        Rs, ps = [], []
+        for b in range(self.nb):
+            par = t["parent"][b]
+            Rp = np.eye(3) if par < 0 else Rs[par]
+            pp = np.zeros(3) if par < 0 else ps[par]
+            RJ = Rp @ d["X_PJ_rot"][b]
+            pJ = pp + Rp @ d["X_PJ_pos"][b]
+            jt = t["joint_type"][b]
+            qs = t["q_start"][b]
+            if jt == self.FREE:
+                quat = np.asarray(q[qs:qs + 4], float)
+                quat = quat / np.linalg.norm(quat)
+                Rb = RJ @ quat_to_R(quat)
+                pb = pJ + Rp @ q[qs + 4:qs + 7]
+            elif jt == self.REVOLUTE:
+                Rb = RJ @ rodrigues(d["axis"][b], float(q[qs]))
+                pb = pJ
+            elif jt == self.PRISMATIC:
+                Rb = RJ
+                pb = pJ + RJ @ (d["axis"][b] * float(q[qs]))
+            else:
+                Rb, pb = RJ, pJ
+            Rs.append(Rb)
+            ps.append(pb)
+        return Rs, ps
+
+    def qdot(self, q, v):
+        """N(q) v: position-coordinate rates from generalized velocity."""
+        t = self.t
+        qd = np.zeros(self.nq)
+        for b in range(self.nb):
+            jt = t["joint_type"][b]
+            qs, vs = t["q_start"][b], t["v_start"][b]
+            if jt == self.FREE:
+                quat = q[qs:qs + 4]
+                w = v[vs:vs + 3]
+                qd[qs:qs + 4] = 0.5 * quat_mul(
+                    np.concatenate([[0.0], w]), quat)
+                qd[qs + 4:qs + 7] = v[vs + 3:vs + 6]
+            elif jt in (self.REVOLUTE, self.PRISMATIC):
+                qd[qs] = v[vs]
+        return qd
+
+    def body_jacs(self, q, h=1e-6):
+        """S_w (nb, 3, nv) and S_c (nb, 3, nv): world angular / com
+        velocity maps, by central FD of fk along each dof's flow."""
+        nb, nv = self.nb, self.nv
+        R0, _ = self.fk(q)
+        S_w = np.zeros((nb, 3, nv))
+        S_c = np.zeros((nb, 3, nv))
+        com = self.d["com"]
+        for k in range(nv):
+            e = np.zeros(nv)
+            e[k] = 1.0
+            qd = self.qdot(q, e)
+            Rp, pp = self.fk(q + h * qd)
+            Rm, pm = self.fk(q - h * qd)
+            for b in range(nb):
+                dR = (Rp[b] - Rm[b]) / (2 * h)
+                W = dR @ R0[b].T
+                S_w[b, :, k] = [W[2, 1], W[0, 2], W[1, 0]]
+                dcom = ((pp[b] + Rp[b] @ com[b])
+                        - (pm[b] + Rm[b] @ com[b])) / (2 * h)
+                S_c[b, :, k] = dcom
+        return S_w, S_c
+
+    def point_jac(self, q, body, p_w, h=1e-6):
+        """(3, nv) world-velocity map of a point rigidly on ``body``."""
+        R0, p0 = self.fk(q)
+        loc = R0[body].T @ (p_w - p0[body])
+        J = np.zeros((3, self.nv))
+        for k in range(self.nv):
+            e = np.zeros(self.nv)
+            e[k] = 1.0
+            qd = self.qdot(q, e)
+            Rp, pp = self.fk(q + h * qd)
+            Rm, pm = self.fk(q - h * qd)
+            J[:, k] = ((pp[body] + Rp[body] @ loc)
+                       - (pm[body] + Rm[body] @ loc)) / (2 * h)
+        return J
+
+    # -- narrowphase (spec: contact/geometry.py) --------------------------
+    def contacts(self, q):
+        c = self.c
+        Rs, ps = self.fk(q)
+        out = []   # (phi, n, Jc, K, d, mu, K1)
+
+        def rel_jac(body_a, body_b, point):
+            J = self.point_jac(q, body_a, point)
+            if body_b >= 0:
+                J = J - self.point_jac(q, body_b, point)
+            return J
+
+        centers = [ps[b] + Rs[b] @ off
+                   for b, off in zip(c["sph_body"], c["sph_offset"])]
+        for s, hgeom, K, dd, mu in zip(c["pair_sh_s"], c["pair_sh_h"],
+                                       c["sh_K"], c["sh_d"], c["sh_mu"]):
+            n = c["hs_normal"][hgeom]
+            dist = float(centers[s] @ n) - c["hs_offset"][hgeom]
+            phi = c["sph_radius"][s] - dist
+            p = centers[s] - (dist - 0.5 * phi) * n
+            out.append((phi, n, rel_jac(c["sph_body"][s], -1, p),
+                        K, dd, mu, 0.0))
+        for s, bx, K, dd, mu in zip(c["pair_sb_s"], c["pair_sb_b"],
+                                    c["sb_K"], c["sb_d"], c["sb_mu"]):
+            bb = c["box_body"][bx]
+            Rw = Rs[bb] @ c["box_rot"][bx]
+            pw = ps[bb] + Rs[bb] @ c["box_pos"][bx]
+            local = Rw.T @ (centers[s] - pw)
+            half = c["box_half"][bx]
+            clamped = np.clip(local, -half, half)
+            delta = local - clamped
+            dist = np.linalg.norm(delta)
+            if dist > 1e-9:
+                n_l = delta / dist
+                sd = dist
+            else:
+                gap = half - np.abs(local)
+                ax = int(np.argmin(gap))
+                n_l = np.zeros(3)
+                n_l[ax] = np.sign(local[ax]) or 1.0
+                sd = -float(gap[ax])
+            phi = c["sph_radius"][s] - sd
+            n = Rw @ n_l
+            p = centers[s] - (sd - 0.5 * phi) * n
+            out.append((phi, n, rel_jac(c["sph_body"][s], bb, p),
+                        K, dd, mu, 0.0))
+        for bx, hgeom, g, dd, mu in zip(c["pair_bh_b"], c["pair_bh_h"],
+                                        c["bh_g"], c["bh_d"], c["bh_mu"]):
+            bb = c["box_body"][bx]
+            Rw = Rs[bb] @ c["box_rot"][bx]
+            pw = ps[bb] + Rs[bb] @ c["box_pos"][bx]
+            half = c["box_half"][bx]
+            n = c["hs_normal"][hgeom]
+            off = c["hs_offset"][hgeom]
+            nb_ax = np.abs(n @ Rw)
+            a_proj = 4.0 * (half[1] * half[2] * nb_ax[0]
+                            + half[0] * half[2] * nb_ax[1]
+                            + half[0] * half[1] * nb_ax[2])
+            K1 = g * a_proj / 4.0
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    for sz in (-1, 1):
+                        corner = pw + Rw @ (np.array([sx, sy, sz]) * half)
+                        phi = off - float(corner @ n)
+                        out.append((phi, n, rel_jac(bb, -1, corner),
+                                    0.0, dd, mu, K1))
+        return out
+
+    # -- one discrete step ------------------------------------------------
+    def step(self, state, u):
+        q = np.asarray(state[:self.nq], float)
+        v = np.asarray(state[self.nq:], float)
+        d = self.d
+        Rs, _ = self.fk(q)
+        S_w, S_c = self.body_jacs(q)
+        dflow = 5e-4                     # outer FD step along the flow
+        qd = self.qdot(q, v)
+        Swp, Scp = self.body_jacs(q + dflow * qd)
+        Swm, Scm = self.body_jacs(q - dflow * qd)
+        dS_w = (Swp - Swm) / (2 * dflow)
+        dS_c = (Scp - Scm) / (2 * dflow)
+
+        M = np.diag(np.asarray(d["armature"], float))
+        h_vec = np.zeros(self.nv)
+        tau_g = np.zeros(self.nv)
+        gvec = d["gravity"]
+        for b in range(self.nb):
+            m = d["mass"][b]
+            Iw = Rs[b] @ d["inertia"][b] @ Rs[b].T
+            M += m * S_c[b].T @ S_c[b] + S_w[b].T @ Iw @ S_w[b]
+            w = S_w[b] @ v
+            h_vec += (m * S_c[b].T @ (dS_c[b] @ v)
+                      + S_w[b].T @ (Iw @ (dS_w[b] @ v)
+                                    + np.cross(w, Iw @ w)))
+            tau_g += m * S_c[b].T @ gvec
+        tau = (d["B"] @ np.asarray(u, float) + tau_g - h_vec
+               - np.asarray(d["damping"], float) * v)
+
+        vp = implicit_contact_solve(M, v, tau, self.contacts(q),
+                                    self.dt, self.iters, **self.force_kw)
+
+        t = self.t
+        qn = q.copy()
+        for b in range(self.nb):
+            jt = t["joint_type"][b]
+            qs, vs = t["q_start"][b], t["v_start"][b]
+            if jt == self.FREE:
+                quat = q[qs:qs + 4]
+                w = vp[vs:vs + 3]
+                quat_n = quat + self.dt * 0.5 * quat_mul(
+                    np.concatenate([[0.0], w]), quat)
+                qn[qs:qs + 4] = quat_n / np.linalg.norm(quat_n)
+                qn[qs + 4:qs + 7] = q[qs + 4:qs + 7] + self.dt * vp[vs + 3:vs + 6]
+            elif jt in (self.REVOLUTE, self.PRISMATIC):
+                qn[qs] = q[qs] + self.dt * vp[vs]
+        return np.concatenate([qn, vp])

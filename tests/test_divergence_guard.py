@@ -4,13 +4,17 @@ flagship bench must keep mean_diverged_fraction < 1%).
 Round-1 bench measured 5.9% of lanes diverging from noisy cold starts;
 the stiction-continuation Newton (forces.stiction_schedule) brought the
 measured rate to 0.7%, and the round-4 config (contact_iters=8 +
-ls_parallel=2 + eps_min=1e-4 + the chain-health policy) to 0.01% over
-119 TPU resolves at batch 256 with ZERO latched-dead lanes
-(BENCH_r04_builder.json).  This guard reproduces the bench's exact
+ls_parallel=2 + eps_min=1e-4 + the chain-health policy) to a 0.6% mean
+diverged fraction with 4/256 latched-dead lanes over 119 TPU resolves
+at batch 256 (BENCH_r04_builder.json).  Most of that 0.6% is the same
+few persistent lanes re-flagged every resolve; FRESH failure events are
+~4 latches + rescued transients over 256 x 119 lane-resolves, i.e.
+p ~ 3e-4 per lane-resolve.  This guard reproduces the bench's exact
 problem (noisy standing starts, warm-started resolves, same keypoint/
-solver/chain-health config) at a CI-sized batch: at p ~ 1e-4 per
-lane-resolve, 64 lane-resolves should see 0 divergences — 2+ events or
-a cost blow-up means the bench-path robustness regressed.
+solver/chain-health config) at a CI-sized batch: 64 lane-resolves at
+p ~ 3e-4 expect ~0.02 events, so the <= 1 bound holds with large
+margin — 2+ events or a cost blow-up means the bench-path robustness
+regressed.
 """
 
 import numpy as np

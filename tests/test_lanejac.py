@@ -157,3 +157,42 @@ def test_batched_solver_lane_vs_xla_derivs():
     np.testing.assert_allclose(np.asarray(got.cost), np.asarray(ref.cost),
                                rtol=6e-2)
     assert not np.any(np.asarray(got.diverged))
+
+
+def test_root_seeded_jac_matches_full_newton():
+    """root_seed + refine_iters=0 linearizes at the trajectory's own
+    x_{t+1}, which IS the cold-schedule Newton's last iterate — so on a
+    consistent rollout it must match the full jac to twin noise.  (A
+    polish step would move the point toward the fully converged
+    final-width root and deviate ~1% — see lanejac docstring.)"""
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+
+    cfg = mc.Config(contact_iters=8)
+    system, _ = mc.build_system(cfg)
+    model, contact = system.params
+    lane = system.lane_step_fn
+    rootj = make_lane_jac(model, contact, system.dt,
+                          contact_iters=lane.contact_iters,
+                          force_params=lane.force_params,
+                          root_seed=True, refine_iters=0)
+    x0, _ = mc.initial_and_target(cfg)
+    N, B = 12, 3
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(
+        np.tile(np.asarray(mc.U_STAND, np.float32), (B, N - 1, 1))
+        + 0.3 * rng.standard_normal((B, N - 1, system.m)).astype(np.float32))
+    x0b = np.tile(np.asarray(x0, np.float32), (B, 1))
+    x0b[:, 19:] += 0.05 * rng.standard_normal((B, 18)).astype(np.float32)
+    x = jax.vmap(system.rollout)(jnp.asarray(x0b), u)
+
+    dcfg = kp.DerivsInterpolation("setInterval", minN=4, max_keypoints=4)
+    fxf, fuf, _ = kp.compute_derivatives_batched(
+        system.lane_jac_fn, dcfg, x, u, root=False)
+    fxr, fur, _ = kp.compute_derivatives_batched(
+        system.lane_jac_root_fn, dcfg, x, u, root=True)
+    scale = float(np.abs(np.asarray(fxf)).max())
+    assert float(np.abs(np.asarray(fxr - fxf)).max()) <= 2e-4 * scale
+    np.testing.assert_allclose(np.asarray(fur), np.asarray(fuf),
+                               rtol=2e-3, atol=1e-4)
+    # system wiring: plant attaches the root twin
+    assert system.lane_jac_root_fn is not None

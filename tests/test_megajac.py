@@ -58,3 +58,42 @@ def test_pallas_jac_pads_partial_tile():
                                rtol=5e-3, atol=2e-2)
     np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
                                rtol=2e-3, atol=5e-3)
+
+
+def test_pallas_jac_root_seeded_matches_lane_root():
+    """The root-seeded kernel variant (third x_next input — the
+    production bench path, see solver/batched.py) matches the XLA lane
+    root jac in interpret mode."""
+    system, x_T, u_T = _cheetah_lanes(16, seed=5)
+    # a consistent next state: the system's own lane step
+    xn_T = system.lane_step_fn(x_T, u_T)
+    k = pallas_jac_for_system(system, block_b=8, root_seed=True,
+                              interpret=True)
+    assert k is not None
+    fx, fu = k(x_T, u_T, xn_T)
+    fx_ref, fu_ref = system.lane_jac_root_fn(x_T, u_T, xn_T)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(fx_ref),
+                               rtol=5e-3, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref),
+                               rtol=2e-3, atol=5e-3)
+
+
+def test_vmem_legality_gate_rejects_bad_tilings():
+    """Build-time Mosaic-legality gate (VERDICT r4 item 7): tilings that
+    die in the hardware compiler (measured: tools/probe_megajac_sweep.py)
+    must fail at BUILD time with MegajacVmemError, on CPU, so CI catches
+    an illegal kernel config before the bench silently falls back."""
+    import pytest
+
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+    from drake_ddp_tpu.ops.megajac import (MegajacVmemError,
+                                           pallas_jac_for_system)
+
+    cfg = mc.Config(contact_iters=8)
+    system, _ = mc.build_system(cfg)
+    # known-good flagship tiling builds
+    assert pallas_jac_for_system(system, block_b=128) is not None
+    # measured-dead tilings are rejected before Mosaic sees them
+    for kw in ({"block_b": 256}, {"block_b": 128, "q_group": 4}):
+        with pytest.raises(MegajacVmemError):
+            pallas_jac_for_system(system, **kw)

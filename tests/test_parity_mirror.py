@@ -150,3 +150,94 @@ def test_wall_bounce_solve_cost_within_1pct():
     # endpoint (+-3: late improvements sit near delta, so the two f64
     # implementations may cross the convergence threshold a few apart)
     assert abs(int(sol.iterations) - len(hist)) <= 3
+
+
+def _cheetah_system_f64(iters=8):
+    """f64 build of the flagship quadruped + ground (mirror of
+    examples/mini_cheetah.py build_system)."""
+    from drake_ddp_tpu.contact.forces import ContactForceParams
+    from drake_ddp_tpu.contact.geometry import (
+        HALFSPACE, CollisionGeometry, ContactProps, GeometrySet,
+        build_contact_model)
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+    from drake_ddp_tpu.io.urdf import add_urdf
+    from drake_ddp_tpu.models import mini_cheetah as mini_cheetah_robot
+    from drake_ddp_tpu.multibody.model import ModelBuilder
+    from drake_ddp_tpu.multibody.plant import make_multibody_system
+
+    cfg = mc.Config(contact_iters=iters)
+    mb = ModelBuilder()
+    gs = GeometrySet()
+    add_urdf(mb, gs, mini_cheetah_robot(), floating=True)
+    ground = ContactProps(modulus=cfg.hydroelastic_modulus,
+                          dissipation=cfg.dissipation,
+                          mu_static=cfg.mu_static,
+                          mu_dynamic=cfg.mu_dynamic,
+                          resolution_hint=cfg.resolution_hint)
+    gs.add(CollisionGeometry(-1, HALFSPACE, np.zeros(3), np.eye(3),
+                             np.zeros(1), ground, name="ground"))
+    model = mb.finalize(jnp.float64)
+    cm = build_contact_model(gs, dtype=jnp.float64)
+    system = make_multibody_system(
+        model, cm, cfg.dt, contact_iters=iters,
+        force_params=ContactForceParams(smooth_width=cfg.smooth_width))
+    return system, model, cm, cfg
+
+
+def _cheetah_mirror(model, cm, cfg, iters=8):
+    from tests.np_physics_mirror import FloatingTreeMirror
+
+    f = lambda a: np.asarray(a, float)
+    topo = dict(parent=model.parent, joint_type=model.joint_type,
+                q_start=model.q_start, v_start=model.v_start,
+                nq=model.nq, nv=model.nv)
+    data = dict(X_PJ_rot=f(model.X_PJ_rot), X_PJ_pos=f(model.X_PJ_pos),
+                axis=f(model.axis), mass=f(model.mass), com=f(model.com),
+                inertia=f(model.inertia), damping=f(model.damping),
+                armature=f(model.armature), gravity=f(model.gravity),
+                B=model.actuation_matrix())
+    ct = dict(sph_body=cm.sph_body, sph_offset=f(cm.sph_offset),
+              sph_radius=f(cm.sph_radius), hs_normal=f(cm.hs_normal),
+              hs_offset=f(cm.hs_offset), box_body=cm.box_body,
+              box_rot=f(cm.box_rot), box_pos=f(cm.box_pos),
+              box_half=f(cm.box_half),
+              pair_sh_s=cm.pair_sh_s, pair_sh_h=cm.pair_sh_h,
+              sh_K=f(cm.sh_K), sh_d=f(cm.sh_d), sh_mu=f(cm.sh_mu),
+              pair_sb_s=cm.pair_sb_s, pair_sb_b=cm.pair_sb_b,
+              sb_K=f(cm.sb_K), sb_d=f(cm.sb_d), sb_mu=f(cm.sb_mu),
+              pair_bh_b=cm.pair_bh_b, pair_bh_h=cm.pair_bh_h,
+              bh_g=f(cm.bh_g), bh_d=f(cm.bh_d), bh_mu=f(cm.bh_mu))
+    return FloatingTreeMirror(topo, data, ct, dt=cfg.dt,
+                              contact_iters=iters,
+                              smooth_width=cfg.smooth_width)
+
+
+def test_cheetah_step_matches_independent_mirror():
+    """The FLAGSHIP physics (floating-base quadruped, 4 foot-sphere
+    ground contacts in stiff stiction, torso box pairs) against the
+    from-scratch D'Alembert + FD-Jacobian NumPy mirror, per step along
+    a 40-step standing/loading snippet (dt = 4e-3, the bench problem's
+    dynamics).  Chaos makes chained-trajectory comparison meaningless,
+    so each step is pinned from the same (JAX-rolled) state."""
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+
+    system, model, cm, cfg = _cheetah_system_f64()
+    mirror = _cheetah_mirror(model, cm, cfg)
+
+    rng = np.random.default_rng(7)
+    x = np.hstack([np.asarray(mc.Q0, float), np.zeros(18)])
+    x[19:] += 0.05 * rng.standard_normal(18)       # bench noise class
+    u_stand = np.asarray(mc.U_STAND, float)
+    step = jax.jit(system.bound_step())
+
+    worst = 0.0
+    for t in range(40):
+        u = u_stand + 0.2 * rng.standard_normal(12)
+        x_jax = np.asarray(step(jnp.asarray(x), jnp.asarray(u)))
+        x_np = mirror.step(x, u)
+        err = np.abs(x_jax - x_np)
+        # scale: positions O(0.3), velocities up to O(10)
+        worst = max(worst, float(err.max()))
+        assert err.max() < 2e-5, (t, err.max(), np.argmax(err))
+        x = x_jax                                   # follow the JAX roll
+    assert worst < 2e-5
