@@ -12,7 +12,8 @@ TPU-native deltas: the arm/gripper mesh collisions are pre-approximated
 to spheres (models/ data; Drake tessellates the meshes), the ground box
 is an analytic halfspace, and the gripper<->arm collision filter
 (kinova_gen3.py:127-154) plus joint-adjacency filters are applied at
-scene-build time.
+scene-build time.  side/forward solve at the reference's delta = 1e-3;
+the lift scenario overrides to 1e-5 (see Config.delta).
 """
 
 from __future__ import annotations
@@ -57,19 +58,18 @@ class Config:
     T: float = 0.5
     dt: float = 1e-2
     beta: float = 0.5
-    # The reference uses delta=1e-3 (kinova_gen3.py:259).  Our smooth
-    # contact gives the descent a shallow approach plateau (the gripper
-    # starts ~5 mm off the ball; improvements are ~1e-3 per iteration
-    # while it closes that gap) which delta=1e-3 mistakes for
-    # convergence — the solve then stalls at cost ~5 with the ball
-    # unmoved.  delta=1e-5 grinds through the plateau and breaks
-    # through: side reaches cost 1.17 with the ball 98% of the way to
-    # the target, forward rolls it most of the 20 cm, and lift (WRAP
-    # pose, refined gripper cover — see tools/gen_model_data.py
-    # --refine) raises the ball in a smooth monotone hold to ~10 of
-    # 20 cm within the 0.5 s horizon (CPU f32,
+    # Convergence threshold.  None = per-scenario default: the
+    # REFERENCE's delta=1e-3 (kinova_gen3.py:259) for side/forward —
+    # round-5 re-measurement (tools/probe_kinova.py, ci=8 + sw=1e-2 +
+    # stiction-continuation Newton) shows both now converge there
+    # (side: 96% of the 15 cm target, cost 1.29; forward: 90%, cost
+    # 2.53; the round-4 "stalls at cost ~5" note predated those solver
+    # fixes) — and 1e-5 for lift, where the WRAP-pose raise genuinely
+    # stalls at 1e-3 (16% progress, linesearch collapse at iter ~27;
+    # the finer threshold grinds through to a smooth hold-lift of
+    # ~10 of 20 cm within the 0.5 s horizon,
     # tests/test_robot_examples.py pins side and lift).
-    delta: float = 1e-5
+    delta: Optional[float] = None
     gamma: float = 0.0
     # contact (kinova_gen3.py:90-99)
     dissipation: float = 5.0
@@ -197,8 +197,11 @@ def build_solver(cfg: Config = Config()):
             cfg.jerk_threshold, cfg.iterative_error_threshold,
             max_keypoints=cfg.max_keypoints,
         )
+    # per-scenario convergence threshold (see Config.delta)
+    delta = cfg.delta if cfg.delta is not None else (
+        1e-5 if cfg.scenario == "lift" else 1e-3)
     ilqr = IterativeLinearQuadraticRegulator(
-        system, num_steps, beta=cfg.beta, delta=cfg.delta, gamma=cfg.gamma,
+        system, num_steps, beta=cfg.beta, delta=delta, gamma=cfg.gamma,
         derivs_keypoint_method=interp, verbose=cfg.verbose,
         raise_on_divergence=False,
     )

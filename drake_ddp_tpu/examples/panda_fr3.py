@@ -47,13 +47,13 @@ class Config:
     T: float = 0.5
     dt: float = 1e-2
     beta: float = 0.5
-    # reference delta=1e-3 (panda_fr3.py:218) mistakes the smooth-
-    # contact approach plateau for convergence; see the kinova Config
-    # for the full account of these three solver/contact defaults.
-    # With them (CPU f32): side moves the ball 11 of 15 cm (cost 3.19,
-    # pinned in tests/test_robot_examples.py), forward rolls it
-    # 19.9 of 20 cm (cost 1.53).
-    delta: float = 1e-5
+    # The REFERENCE's delta=1e-3 (panda_fr3.py:218).  Round-5
+    # re-measurement: with ci=8 + sw=1e-2 + the stiction-continuation
+    # Newton, side converges at the reference threshold to the SAME
+    # optimum as delta=1e-5 (cost 3.1917 vs 3.1914, ball 11 of 15 cm —
+    # the round-4 "mistakes the plateau for convergence" note predated
+    # those solver fixes; pinned in tests/test_robot_examples.py).
+    delta: float = 1e-3
     gamma: float = 0.0
     # contact (panda_fr3.py:77-83)
     dissipation: float = 5.0

@@ -8,6 +8,7 @@ loader for user-supplied URDF files.
 """
 
 from drake_ddp_tpu.models.registry import (
+    gripper_articulated,
     gripper_static,
     kinova_gen3,
     mini_cheetah,
@@ -16,6 +17,7 @@ from drake_ddp_tpu.models.registry import (
 )
 
 __all__ = [
+    "gripper_articulated",
     "gripper_static",
     "kinova_gen3",
     "mini_cheetah",

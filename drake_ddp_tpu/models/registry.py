@@ -95,3 +95,12 @@ def gripper_static() -> UrdfRobot:
     urdf/robotiq_2f_85_static.urdf)."""
     from drake_ddp_tpu.models._data_gripper_static import MODEL
     return robot_from_data(MODEL)
+
+
+def gripper_articulated() -> UrdfRobot:
+    """Robotiq 2F-85, articulated-fingers variant (reference
+    models/2f_85_gripper/urdf/robotiq_2f_85.urdf).  Shipped for C10
+    inventory parity; the reference's own examples weld the static
+    variant (kinova_gen3.py:118-124)."""
+    from drake_ddp_tpu.models._data_gripper_articulated import MODEL
+    return robot_from_data(MODEL)

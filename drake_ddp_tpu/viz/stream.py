@@ -8,6 +8,13 @@ predicted horizon is pulled to the host once (off the hot path, only
 when streaming is enabled) and the whole run is exported as a single
 self-contained HTML player that animates the executed trajectory while
 overlaying the current resolve's predicted horizon as a fading ghost.
+
+DURING-solve viewing (the reference's live-viewer role): construct the
+stream with ``live_path`` (plus model/contact/dt) and every
+``live_every``-th ``record()`` rewrites the player file with a 2-second
+auto-reload tag — open it in any browser while the MPC chain runs and
+it follows along.  The rewrite happens on the host between device
+calls, so the solve itself is never gated.
 """
 
 from __future__ import annotations
@@ -31,14 +38,30 @@ class MPCStream:
         stream.export_html(path, model, contact, dt)
     """
 
-    def __init__(self, replan_steps: int):
+    def __init__(self, replan_steps: int, live_path: Optional[str] = None,
+                 model: Optional[MultibodyModel] = None,
+                 contact: Optional[ContactModel] = None,
+                 dt: Optional[float] = None, live_every: int = 1):
         self.replan_steps = int(replan_steps)
         self.resolves: List[np.ndarray] = []
+        self.live_path = live_path
+        self._live = (model, contact, dt)
+        self.live_every = max(1, int(live_every))
+        if live_path is not None and (model is None or dt is None):
+            raise ValueError("live_path needs model and dt")
 
     def record(self, x) -> None:
-        """Append one resolve's predicted state trajectory (host copy)."""
+        """Append one resolve's predicted state trajectory (host copy).
+
+        In live mode also republish the player file (the reference's
+        per-resolve ForcedPublish role, mini_cheetah.py:208-213)."""
         x = np.asarray(x)
         self.resolves.append(x)
+        if (self.live_path is not None
+                and len(self.resolves) % self.live_every == 0):
+            model, contact, dt = self._live
+            self.export_html(self.live_path, model, contact, dt,
+                             _live_reload=True)
 
     def executed(self, n: int) -> np.ndarray:
         """Stitched closed-loop trajectory: the first replan_steps of every
@@ -56,7 +79,8 @@ class MPCStream:
     def export_html(self, path: str, model: MultibodyModel,
                     contact: Optional[ContactModel], dt: float,
                     playback_rate: float = 1.0, zoom: float = 400.0,
-                    ghost_stride: int = 4) -> str:
+                    ghost_stride: int = 4,
+                    _live_reload: bool = False) -> str:
         """Write one HTML player: executed trajectory + per-resolve
         prediction ghosts (every ``ghost_stride``-th horizon step)."""
         n = model.nq + model.nv
@@ -77,6 +101,20 @@ class MPCStream:
             "ghosts": ghosts,
         }
         html = _STREAM_TEMPLATE.format(data=json.dumps(data), zoom=zoom)
+        if _live_reload:
+            # browser follows the running chain: re-read the file every
+            # 2 s (atomic rename so a mid-write reload never sees a
+            # truncated player)
+            html = html.replace(
+                "<meta charset=\"utf-8\">",
+                "<meta charset=\"utf-8\">"
+                "<meta http-equiv=\"refresh\" content=\"2\">", 1)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(html)
+            import os
+            os.replace(tmp, path)
+            return path
         with open(path, "w") as f:
             f.write(html)
         return path

@@ -122,10 +122,11 @@ def test_kinova_simulate_mode():
 # These run the COMPLETE reference scenarios (T = 0.5, N = 50) through
 # the example entry points and pin converged cost + achieved ball motion.
 # Golden values recorded on CPU f32 at the example defaults
-# (contact_iters=8, delta=1e-5, smooth_width=1e-2 — see the kinova
-# Config docstring for why these differ from the reference's delta);
-# a >2% cost move means the physics or solver changed — update the pin
-# in the same commit and say why.
+# (contact_iters=8, smooth_width=1e-2, and the REFERENCE's delta=1e-3
+# for side/forward — round 5 re-measured that they converge there; lift
+# keeps a 1e-5 override, see the kinova Config docstring); a >2% cost
+# move means the physics or solver changed — update the pin in the same
+# commit and say why.
 
 
 def test_kinova_side_full_scenario_golden():
@@ -137,10 +138,10 @@ def test_kinova_side_full_scenario_golden():
     cfg = dataclasses.replace(kg.Config(), scenario="side", verbose=False)
     ilqr = kg.build_solver(cfg)
     x, u, t, c = ilqr.Solve()
-    # 1.1678 at the refine=2.5 10-sphere gripper cover (was 1.1073 at
-    # the coarse 4-sphere cover; re-recorded with the fidelity bump —
-    # the ball still goes 98% of the way)
-    assert c == pytest.approx(1.1678, rel=0.02)
+    # 1.2865 at the reference's delta=1e-3 (round 5; the solve stops a
+    # little earlier than the old delta=1e-5 pin of 1.1678 but the ball
+    # still travels 96% of the way — dy 0.1443)
+    assert c == pytest.approx(1.2865, rel=0.02)
     x0, x_nom = kg.scenario_states(cfg)
     # ball displacement projected onto the commanded direction (+y)
     dy = x[12, -1] - x0[12]
@@ -183,3 +184,30 @@ def test_panda_side_full_scenario_golden():
     assert dy > 0.09
     assert abs(x[13, -1] - 0.1) < 0.03
     assert float(x[13].min()) > 0.08
+
+
+def test_articulated_gripper_builds_and_steps():
+    """C10 inventory parity: the articulated Robotiq 2F-85 variant
+    (reference models/2f_85_gripper/urdf/robotiq_2f_85.urdf) builds into
+    a finite-stepping system.  The reference's own examples weld the
+    static variant; this pins the asset itself."""
+    import jax.numpy as jnp
+
+    from drake_ddp_tpu.contact.geometry import (GeometrySet,
+                                                build_contact_model)
+    from drake_ddp_tpu.io.urdf import add_urdf
+    from drake_ddp_tpu.models import gripper_articulated
+    from drake_ddp_tpu.multibody.model import ModelBuilder
+    from drake_ddp_tpu.multibody.plant import make_multibody_system
+
+    mb = ModelBuilder()
+    gs = GeometrySet()
+    add_urdf(mb, gs, gripper_articulated(), floating=False)
+    model = mb.finalize()
+    assert model.nb == 11 and model.nq == 6 and model.nu >= 1
+    cm = build_contact_model(gs)
+    system = make_multibody_system(model, cm, 1e-2, contact_iters=2)
+    x = jnp.zeros(model.nq + model.nv).at[:model.nq].set(
+        jnp.asarray(model.default_q()))
+    x1 = system.step(x, jnp.zeros(model.nu))
+    assert bool(jnp.all(jnp.isfinite(x1)))

@@ -99,3 +99,24 @@ def test_contact_force_frames_and_arrows(tmp_path):
                        dt=sys.dt, show_forces=True)
     html = open(path).read()
     assert "fpoints" in html and "toggle contact forces" in html
+
+
+def test_mpc_stream_live_mode(tmp_path):
+    """Live (during-solve) viewing: with live_path set, every record()
+    republishes an auto-reloading player file — the reference's
+    per-resolve live-viewer role (mini_cheetah.py:208-213)."""
+    from drake_ddp_tpu.viz import MPCStream
+
+    sys = _wall_system()
+    model, cm = sys.params
+    n = model.nq + model.nv
+    path = tmp_path / "live.html"
+    stream = MPCStream(replan_steps=2, live_path=str(path), model=model,
+                       contact=cm, dt=0.01)
+    rng = np.random.default_rng(1)
+    stream.record(0.1 * rng.normal(size=(n, 6)).astype(np.float32))
+    html = open(path).read()
+    assert 'http-equiv="refresh"' in html
+    size1 = len(html)
+    stream.record(0.1 * rng.normal(size=(n, 6)).astype(np.float32))
+    assert len(open(path).read()) > size1      # republished with 2 ghosts

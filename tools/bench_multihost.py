@@ -143,19 +143,35 @@ def _run_hosts(nproc: int) -> dict:
 
 
 def main():
+    ncpu = os.cpu_count() or 1
     r1 = _run_hosts(1)
     r2 = _run_hosts(2)
     eff = r1["wall_s"] / max(r2["wall_s"], 1e-9)
+    # a weak-scaling efficiency is only MEANINGFUL when each simulated
+    # host gets its own physical cores: H hosts x D virtual devices
+    # timeshared onto fewer cores measures the OS scheduler, not the
+    # communication design (this box: 1 physical CPU — the round-4
+    # "0.45" was exactly that artifact)
+    valid = ncpu >= 2 * DEVICES_PER_HOST
     out = {
         "metric": "multi-host weak-scaling efficiency (CPU mesh, "
                   "flagship MPC)",
+        "physical_cpus": ncpu,
+        "efficiency_measurement_valid": valid,
         "one_host": r1,
         "two_hosts": r2,
         "weak_scaling_efficiency": round(eff, 4),
         "note": "1 real TPU chip available; >=2-host point measured as "
                 "2 processes x 4 CPU devices over gloo (DCN-analog). "
                 "runs/s(H) ~= H * runs/s(1) * efficiency; the 1-chip "
-                "TPU absolute number is BENCH JSON's value.",
+                "TPU absolute number is BENCH JSON's value."
+                + ("" if valid else
+                   "  INVALID AS A SCALING NUMBER on this box: "
+                   f"{ncpu} physical CPU(s) timeshare all workers, so "
+                   "wall-time ratios measure scheduler contention.  "
+                   "The design's cross-host traffic is the psum'd "
+                   "per-chunk stats (a few scalars) — see PERF.md for "
+                   "the payload accounting."),
     }
     print(json.dumps(out))
 

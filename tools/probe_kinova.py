@@ -5,10 +5,13 @@ displacement?  Sweeps solver/contact settings and reports ball motion.
 Usage: python tools/probe_kinova.py ci=4 sw=0.003 delta=1e-5 iters=40
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(ci=2, sw=None, delta=1e-3, iters=100, scenario="side"):
