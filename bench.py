@@ -108,17 +108,18 @@ def main():
     # candidate above 1e4 is an exploded prediction and must never become
     # the incumbent (accepting one feeds garbage gains to the next warm
     # start and poisons the chain — tools/probe_fall.py dissection).
-    # ls_parallel=2 / eps_min=1e-4 (round-4 sweep): accepts concentrate
+    # ls_parallel=2 / eps_min (round-4 sweep): accepts concentrate
     # in the first rollout round (86% measured), so halving the
-    # candidate width cuts most forward-pass compute; accepts below
-    # eps ~1e-4 are f32 cost noise, so the deep backtracking tail only
-    # pads the cost of failure.  Measured TOGETHER with ci=8: 7.6
-    # s/chunk vs 11 at lsp=4, AND lower divergence (0.01% vs 0.5%/72
-    # resolves — the noise-accepts the deep schedule admitted were
-    # hurting, not helping).
+    # candidate width cuts most forward-pass compute.  eps_min=1e-3
+    # (round-5 sweep): with the derivative phase collapsed to ~10% the
+    # linesearch ladder became the dominant per-iteration cost, and
+    # truncating it at 1e-3 instead of 1e-4 cut another ~25% of wall
+    # time at EQUAL chain health over 299 resolves (dead 1.95% both,
+    # fewer dead lanes on the 72-resolve sweep; LONGCHAIN artifacts) —
+    # the [1e-4, 1e-3) accepts were failure-grind, not progress.
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=2,
-                      eps_min=1e-4, parallel_backward=False,
+                      eps_min=1e-3, parallel_backward=False,
                       ls_expected_floor=cfg.delta, cost_ceiling=1e4)
     # policy_warm_start: seed each resolve with the previous solution's
     # LQR policy — the open-loop tape replay diverges exponentially over

@@ -4,7 +4,7 @@ flagship bench must keep mean_diverged_fraction < 1%).
 Round-1 bench measured 5.9% of lanes diverging from noisy cold starts;
 the stiction-continuation Newton (forces.stiction_schedule) brought the
 measured rate to 0.7%, and the round-4 config (contact_iters=8 +
-ls_parallel=2 + eps_min=1e-4 + the chain-health policy) to a 0.6% mean
+ls_parallel=2 + eps_min (1e-3 in round 5) + the chain-health policy) to a 0.6% mean
 diverged fraction with 4/256 latched-dead lanes over 119 TPU resolves
 at batch 256 (BENCH_r04_builder.json).  Most of that 0.6% is the same
 few persistent lanes re-flagged every resolve; FRESH failure events are
@@ -41,7 +41,7 @@ def test_cold_start_divergence_rate_bounded():
                                     max_keypoints=8, jac_chunk=8)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=12, derivs=derivs, ls_parallel=2,
-                      eps_min=1e-4, ls_expected_floor=cfg.delta,
+                      eps_min=1e-3, ls_expected_floor=cfg.delta,
                       cost_ceiling=1e4)
     mpcc = MPCConfig(num_resolves=RESOLVES, replan_steps=rs,
                      policy_warm_start=True, freeze_diverged=True,

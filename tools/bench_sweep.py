@@ -48,11 +48,11 @@ def build(batch, contact_iters=None, kp_interval=8):
     derivs = kp.DerivsInterpolation("setInterval", minN=kp_interval,
                                     max_keypoints=min(n_kp, N - 1),
                                     jac_chunk=JAC_CHUNK)
-    # mirror bench.py's round-4 solver config (lsp=2 / eps_min=1e-4:
+    # mirror bench.py's round-5 solver config (lsp=2 / eps_min=1e-3:
     # measured faster AND more stable than the deep schedule)
     scfg = ILQRConfig(num_steps=N, delta=cfg.delta, beta=cfg.beta,
                       max_iters=MAX_ITERS, derivs=derivs, ls_parallel=2,
-                      eps_min=1e-4, parallel_backward=False,
+                      eps_min=1e-3, parallel_backward=False,
                       ls_expected_floor=cfg.delta, cost_ceiling=1e4)
     shift = jnp.zeros(37, jnp.float32).at[4].set(
         cfg.target_vel * cfg.dt * cfg.replan_steps)
