@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def main(num_chunks=50, batch=256, eps_min=1e-3):
+def main(num_chunks=50, batch=256, eps_min=1e-3, max_iters=8):
     import jax
 
     try:
@@ -44,7 +44,7 @@ def main(num_chunks=50, batch=256, eps_min=1e-3):
 
     system, scfg, cfg, shift, make_prob = build(batch, contact_iters=8)
     # bench.py parity: max_iters=8, ceiling 1e3, rescue, grace 3
-    scfg = scfg._replace(max_iters=8, eps_min=eps_min)
+    scfg = scfg._replace(max_iters=max_iters, eps_min=eps_min)
     rs = cfg.replan_steps
     N = scfg.num_steps
     mpcc = MPCConfig(num_resolves=5, replan_steps=rs,
@@ -104,6 +104,7 @@ def main(num_chunks=50, batch=256, eps_min=1e-3):
     half = num_chunks // 2
     out = {
         "resolves": resolves, "batch": batch, "eps_min": eps_min,
+        "max_iters": max_iters,
         "seconds": round(el, 1),
         "runs_per_s_chip": round(batch * resolves / el / 100.0, 4),
         "dead_final": series["dead"][-1],
@@ -121,4 +122,5 @@ def main(num_chunks=50, batch=256, eps_min=1e-3):
 if __name__ == "__main__":
     a = sys.argv[1:]
     main(int(a[0]) if a else 50, int(a[1]) if len(a) > 1 else 256,
-         float(a[2]) if len(a) > 2 else 1e-3)
+         float(a[2]) if len(a) > 2 else 1e-3,
+         int(a[3]) if len(a) > 3 else 8)
