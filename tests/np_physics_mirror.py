@@ -427,6 +427,18 @@ class FloatingTreeMirror:
             p = centers[s] - (dist - 0.5 * phi) * n
             out.append((phi, n, rel_jac(c["sph_body"][s], -1, p),
                         K, dd, mu, 0.0))
+        for a, b, K, dd, mu in zip(c.get("pair_ss_a", ()),
+                                   c.get("pair_ss_b", ()),
+                                   c.get("ss_K", ()), c.get("ss_d", ()),
+                                   c.get("ss_mu", ())):
+            dvec = centers[a] - centers[b]
+            dist = np.linalg.norm(dvec)
+            n = dvec / max(dist, 1e-9)
+            phi = (c["sph_radius"][a] + c["sph_radius"][b]) - dist
+            p = centers[b] + (c["sph_radius"][b] - 0.5 * phi) * n
+            out.append((phi, n,
+                        rel_jac(c["sph_body"][a], c["sph_body"][b], p),
+                        K, dd, mu, 0.0))
         for s, bx, K, dd, mu in zip(c["pair_sb_s"], c["pair_sb_b"],
                                     c["sb_K"], c["sb_d"], c["sb_mu"]):
             bb = c["box_body"][bx]

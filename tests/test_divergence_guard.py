@@ -110,3 +110,35 @@ def test_no_incumbent_reports_diverged():
             lambda a: jnp.broadcast_to(a, (B,) + a.shape), prob)
         bsol = solve_ilqr_batched(nan_sys, cfg, bprob)
         assert np.asarray(bsol.diverged).all(), floor
+
+
+def test_longchain_artifact_bounds():
+    """The committed 299-resolve TPU artifact (LONGCHAIN_r05.json,
+    tools/probe_longchain.py) must satisfy the chain-health criteria:
+    dead fraction <= 2% and a FLAT late-chain divergence rate (the
+    diverged fraction saturates at the latched-dead fraction instead of
+    ramping).  Regenerating the artifact with a regressed config fails
+    this test; the bound is the VERDICT r4 item-3 'Done' criterion."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "LONGCHAIN_r05.json")
+    with open(path) as f:
+        art = json.load(f)
+    assert art["resolves"] >= 299
+    assert art["dead_final"] <= 0.02, art["dead_final"]
+    div = art["series"]["div"]
+    dead = art["series"]["dead"]
+    # late-chain flatness: the mean diverged fraction over the last
+    # quarter exceeds the latched-dead fraction by < 0.5% absolute
+    # (transient rescued stumbles allowed; a re-opened cascade, e.g.
+    # the rejected max_iters=6 config at 5.8% and climbing, fails)
+    q = len(div) // 4
+    late_excess = float(np.mean(div[-q:])) - float(np.mean(dead[-q:]))
+    assert late_excess < 0.005, late_excess
+    # and no upward trend across the last half
+    half = len(div) // 2
+    a = float(np.mean(div[half:half + q]))
+    b = float(np.mean(div[-q:]))
+    assert b - a < 0.005, (a, b)

@@ -241,3 +241,71 @@ def test_cheetah_step_matches_independent_mirror():
         assert err.max() < 2e-5, (t, err.max(), np.argmax(err))
         x = x_jax                                   # follow the JAX roll
     assert worst < 2e-5
+
+
+def _kinova_system_f64(iters=8):
+    """f64 build of the manipulation scene (mirror of
+    examples/kinova_gen3.py build_system): arm + welded static gripper
+    + free ball + ground."""
+    import dataclasses
+
+    from drake_ddp_tpu.examples import kinova_gen3 as kg
+
+    cfg = dataclasses.replace(kg.Config(), scenario="side",
+                              contact_iters=iters)
+    # rebuild at f64 by re-running the example's builder with f64 dtypes
+    from drake_ddp_tpu.contact.forces import ContactForceParams
+    from drake_ddp_tpu.multibody.plant import make_multibody_system
+
+    system32, model32 = kg.build_system(cfg)
+    # recast the example's f32 build (model tables + contact tables are
+    # exact small constants) to f64 leaves
+    import jax.numpy as jnp
+
+    to64 = lambda tree: jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float64)
+        if hasattr(a, "dtype") and jnp.issubdtype(
+            jnp.asarray(a).dtype, jnp.floating) else a, tree)
+    model = to64(model32)
+    cm = to64(system32.params[1])
+    system = make_multibody_system(
+        model, cm, cfg.dt, contact_iters=iters,
+        force_params=ContactForceParams(smooth_width=cfg.smooth_width))
+    return system, model, cm, cfg
+
+
+def test_kinova_step_matches_independent_mirror():
+    """The MANIPULATION physics class (fixed-base arm + welded gripper
+    with box finger pads + free ball: 21 bodies, 127 contacts across
+    sphere-halfspace / sphere-sphere / sphere-box / box-face pairs)
+    against the same from-scratch D'Alembert + FD-Jacobian mirror, per
+    step along a 10-step approach snippet."""
+    import dataclasses
+
+    from drake_ddp_tpu.examples import kinova_gen3 as kg
+    from drake_ddp_tpu.multibody.algorithms import gravity_compensation
+
+    system, model, cm, cfg = _kinova_system_f64()
+    mirror = _cheetah_mirror(model, cm, cfg)   # same extractor
+    # add the pair groups the cheetah scene doesn't have
+    mirror.c.update(pair_ss_a=cm.pair_ss_a, pair_ss_b=cm.pair_ss_b,
+                    ss_K=np.asarray(cm.ss_K, float),
+                    ss_d=np.asarray(cm.ss_d, float),
+                    ss_mu=np.asarray(cm.ss_mu, float))
+
+    x0, _ = kg.scenario_states(cfg)
+    x = np.asarray(x0, float)
+    u0 = np.asarray(gravity_compensation(
+        model, jnp.asarray(x[:model.nq], jnp.float64)), float)
+    step = jax.jit(system.bound_step())
+    rng = np.random.default_rng(11)
+    worst = 0.0
+    for t in range(10):
+        u = u0 + 0.1 * rng.standard_normal(len(u0))
+        x_jax = np.asarray(step(jnp.asarray(x), jnp.asarray(u)))
+        x_np = mirror.step(x, u)
+        err = float(np.abs(x_jax - x_np).max())
+        worst = max(worst, err)
+        assert err < 5e-5, (t, err, int(np.argmax(np.abs(x_jax - x_np))))
+        x = x_jax
+    assert worst < 5e-5
