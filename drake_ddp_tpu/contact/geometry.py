@@ -171,18 +171,30 @@ class ContactModel(NamedTuple):
     bh_g: jax.Array                # series-combined pressure gradient
     bh_d: jax.Array
     bh_mu: jax.Array
+    # pairs: box face vs BODY SPHERE (8 corner contacts per pair;
+    # elastic-foundation LINEAR law) — the opt-in pad-face patch model
+    # for finger-pad-on-ball contacts, replacing the single
+    # closest-point sb contact when
+    # build_contact_model(box_face_quadrature=True).  Same construction
+    # as bh: corner quadrature of the pressure field with tributary
+    # area A_proj(R)/4, softplus killing far-side corners.
+    pair_bs_b: Tuple[int, ...] = ()
+    pair_bs_s: Tuple[int, ...] = ()
+    bs_g: jax.Array = None
+    bs_d: jax.Array = None
+    bs_mu: jax.Array = None
 
     @property
     def num_contacts(self) -> int:
         return (len(self.pair_sh_s) + len(self.pair_sb_s)
                 + len(self.pair_ss_a) + len(self.pair_sw_s)
-                + 8 * len(self.pair_bh_b))
+                + 8 * len(self.pair_bh_b) + 8 * len(self.pair_bs_b))
 
     @property
     def lane_kernel_supported(self) -> bool:
         """The lane-major / Pallas contact twins
         (multibody/lanestep._narrowphase_T) cover every pair type this
-        model can hold (sh, sb incl. body boxes, ss, sw, bh)."""
+        model can hold (sh, sb incl. body boxes, ss, sw, bh, bs)."""
         return True
 
 
@@ -234,8 +246,17 @@ def _series_gradient(pa: ContactProps, la: float, pb: ContactProps, lb: float):
     return g, d, mu
 
 
-def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactModel]:
-    """Decompose, enumerate filtered candidate pairs, build arrays."""
+def build_contact_model(gs: GeometrySet, dtype=jnp.float32,
+                        box_face_quadrature: bool = False,
+                        ) -> Optional[ContactModel]:
+    """Decompose, enumerate filtered candidate pairs, build arrays.
+
+    ``box_face_quadrature``: route body-box-vs-sphere candidates to the
+    8-corner elastic-foundation patch model (bs pairs) instead of the
+    single closest-point contact (sb pairs) — Drake-style pressure
+    integration over the pad face for finger-pad contacts.  Default off
+    (the calibrated point model; flipping changes force distribution
+    and therefore recorded goldens)."""
     spheres = []      # (body, offset, radius, props, src_geom_idx, ell)
     halfspaces = []   # (normal, offset, props, src, ell)
     boxes = []        # (body, rot, pos, half, props, src, ell)
@@ -276,13 +297,19 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
         return key in filt or bkey in bfilt
 
     pair_sh, pair_sb, pair_ss, pair_sw, pair_bh = [], [], [], [], []
+    pair_bs = []
     for si, (b, off, r, props, src, ell) in enumerate(spheres):
         for hi, (n, o, hprops, hsrc, hell) in enumerate(halfspaces):
             if not filtered(src, hsrc, b, -1):
                 pair_sh.append((si, hi, *_combine(props, ell, hprops, hell, r)))
         for bi, (bbody, R, p, half, bprops, bsrc, bell) in enumerate(boxes):
             if bbody != b and not filtered(src, bsrc, b, bbody):
-                pair_sb.append((si, bi, *_combine(props, ell, bprops, bell, r)))
+                if box_face_quadrature and bbody >= 0:
+                    pair_bs.append((bi, si, *_series_gradient(
+                        bprops, bell, props, ell)))
+                else:
+                    pair_sb.append((si, bi, *_combine(props, ell, bprops,
+                                                      bell, r)))
         for wi, (wp, wr, wprops, wsrc) in enumerate(wspheres):
             if not filtered(src, wsrc, b, -1):
                 r_eff = r * wr / (r + wr)
@@ -307,7 +334,8 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
                 pair_bh.append((bi, hi, *_series_gradient(
                     bprops, bell, hprops, hell)))
 
-    if not (pair_sh or pair_sb or pair_ss or pair_sw or pair_bh):
+    if not (pair_sh or pair_sb or pair_ss or pair_sw or pair_bh
+            or pair_bs):
         return None
 
     def arr(x, d=dtype):
@@ -350,6 +378,11 @@ def build_contact_model(gs: GeometrySet, dtype=jnp.float32) -> Optional[ContactM
         bh_g=arr([p[2] for p in pair_bh]),
         bh_d=arr([p[3] for p in pair_bh]),
         bh_mu=arr([p[4] for p in pair_bh]),
+        pair_bs_b=tuple(p[0] for p in pair_bs),
+        pair_bs_s=tuple(p[1] for p in pair_bs),
+        bs_g=arr([p[2] for p in pair_bs]),
+        bs_d=arr([p[3] for p in pair_bs]),
+        bs_mu=arr([p[4] for p in pair_bs]),
     )
 
 
@@ -519,6 +552,49 @@ def narrowphase(cm: ContactModel, sph_center_w: jax.Array,
         K1s.append(K1.reshape(nc8))
         ds.append(jnp.repeat(cm.bh_d, 8))
         mus.append(jnp.repeat(cm.bh_mu, 8))
+
+    if cm.pair_bs_b:
+        # Box face vs body sphere: the bh corner quadrature transplanted
+        # to a spherical "ground": phi = r_s - |corner - c| (corner
+        # inside the sphere = penetration), normal = (corner - c)/|..|
+        # (the sphere pushes the box radially outward), tributary area =
+        # the box silhouette projected along the box->sphere direction
+        # / 4.  Far-side corners sit ~2 half-thicknesses further out, so
+        # their softplus force vanishes smoothly — no face selection.
+        b = jnp.asarray(cm.pair_bs_b)
+        s = jnp.asarray(cm.pair_bs_s)
+        Rw = box_R_w[b]
+        pw = box_p_w[b]
+        half = cm.box_half[b]
+        c = sph_center_w[s]
+        r = cm.sph_radius[s]
+        dirv = c - pw
+        nbar = dirv / jnp.maximum(
+            jnp.linalg.norm(dirv, axis=-1), 1e-9)[:, None]
+        nb_ax = jnp.abs(jnp.einsum("ci,cij->cj", nbar, Rw))
+        hx, hy, hz = half[:, 0], half[:, 1], half[:, 2]
+        a_proj = 4.0 * (hy * hz * nb_ax[:, 0] + hx * hz * nb_ax[:, 1]
+                        + hx * hy * nb_ax[:, 2])
+        K1 = (cm.bs_g * a_proj / 4.0)[:, None].repeat(8, 1)
+        signs = jnp.asarray(np.array(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+             for sz in (-1, 1)], np.float32), dtype)
+        corners_l = signs[None] * half[:, None]
+        corners_w = pw[:, None] + jnp.einsum("cij,ckj->cki", Rw, corners_l)
+        delta = corners_w - c[:, None]
+        dist = jnp.linalg.norm(delta, axis=-1)          # (c, 8)
+        nrm = delta / jnp.maximum(dist, 1e-9)[..., None]
+        phi = r[:, None] - dist
+        nc8 = 8 * len(cm.pair_bs_b)
+        phis.append(phi.reshape(nc8))
+        normals.append(nrm.reshape(nc8, 3))
+        points.append(corners_w.reshape(nc8, 3))
+        body_a += [cm.box_body[i] for i in cm.pair_bs_b for _ in range(8)]
+        body_b += [cm.sph_body[i] for i in cm.pair_bs_s for _ in range(8)]
+        Ks.append(jnp.zeros(nc8, dtype))
+        K1s.append(K1.reshape(nc8))
+        ds.append(jnp.repeat(cm.bs_d, 8))
+        mus.append(jnp.repeat(cm.bs_mu, 8))
 
     return (
         jnp.concatenate(phis),

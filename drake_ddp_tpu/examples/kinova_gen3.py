@@ -103,6 +103,15 @@ class Config:
     iterative_error_threshold: float = 1e-2
     verbose: bool = True
     mesh_max_spheres: int = 4
+    # Opt-in Drake-style patch integration for the finger-pad boxes vs
+    # the ball: 8-corner elastic-foundation quadrature instead of one
+    # closest-point contact (geometry.build_contact_model
+    # box_face_quadrature).  Default OFF: the ball (r = 0.05) is small
+    # relative to the pad's curvature sag at the corner sample points
+    # (~1.2 mm > the sub-mm penetration scale), where the calibrated
+    # point model is the better physics — see
+    # tests/test_pad_quadrature.py for the measured regimes.
+    pad_face_quadrature: bool = False
 
 
 def scenario_states(cfg: Config):
@@ -178,7 +187,8 @@ def build_system(cfg: Config = Config()):
     gs.add(CollisionGeometry(-1, HALFSPACE, np.zeros(3), np.eye(3),
                              np.zeros(1), ground_props, "ground"))
     model = mb.finalize()
-    cm = build_contact_model(gs)
+    cm = build_contact_model(
+        gs, box_face_quadrature=cfg.pad_face_quadrature)
     from drake_ddp_tpu.contact.forces import ContactForceParams
 
     system = make_multibody_system(

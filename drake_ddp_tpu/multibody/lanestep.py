@@ -575,6 +575,45 @@ def _narrowphase_T(cm: ContactModel, centers, box_R_w=None, box_p_w=None):
         ds.append(np.repeat(np.asarray(cm.bh_d), 8))
         mus.append(np.repeat(np.asarray(cm.bh_mu), 8))
 
+    if getattr(cm, "pair_bs_b", ()):
+        # box face vs body sphere: bh's corner quadrature on a
+        # spherical "ground" (see geometry.narrowphase bs section)
+        signs = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+                 for sz in (-1, 1)]
+        for pi, (bi, si) in enumerate(zip(cm.pair_bs_b, cm.pair_bs_s)):
+            Rw, pw = box_R_w[bi], box_p_w[bi]           # traced
+            half = np.asarray(cm.box_half)[bi]
+            c = centers[si]                             # (3, B)
+            r = float(np.asarray(cm.sph_radius)[si])
+            g = float(np.asarray(cm.bs_g)[pi])
+            dirv = [c[a] - pw[a] for a in range(3)]
+            dn = jnp.sqrt(sum(v * v for v in dirv) + 1e-18)
+            nbar = [v / dn for v in dirv]
+            nb_ax = [jnp.abs(sum(nbar[a] * Rw[a, j] for a in range(3)))
+                     for j in range(3)]
+            hx, hy, hz = float(half[0]), float(half[1]), float(half[2])
+            a_proj = 4.0 * (hy * hz * nb_ax[0] + hx * hz * nb_ax[1]
+                            + hx * hy * nb_ax[2])       # (B,)
+            K1_pair = g * a_proj / 4.0
+            for s8 in signs:
+                loc = np.array(s8, float) * np.asarray(half, float)
+                corner = pw + jnp.stack([
+                    sum(Rw[a, k] * float(loc[k]) for k in range(3))
+                    for a in range(3)])                  # (3, B)
+                delta = corner - c
+                dist = jnp.sqrt(jnp.sum(delta * delta, axis=0) + 1e-18)
+                phi = r - dist                           # (B,)
+                nrm = delta / dist[None]
+                phis.append(phi[None])
+                normals.append(nrm[None])
+                points.append(corner[None])
+                body_a.append(cm.box_body[bi])
+                body_b.append(cm.sph_body[si])
+                K1_rows.append(K1_pair[None])
+        Ks.append(np.zeros(8 * len(cm.pair_bs_b)))
+        ds.append(np.repeat(np.asarray(cm.bs_d), 8))
+        mus.append(np.repeat(np.asarray(cm.bs_mu), 8))
+
     K = np.concatenate(Ks)
     d = np.concatenate(ds)
     mu = np.concatenate(mus)

@@ -463,6 +463,36 @@ class FloatingTreeMirror:
             p = centers[s] - (sd - 0.5 * phi) * n
             out.append((phi, n, rel_jac(c["sph_body"][s], bb, p),
                         K, dd, mu, 0.0))
+        for bx, s, g, dd, mu in zip(c.get("pair_bs_b", ()),
+                                    c.get("pair_bs_s", ()),
+                                    c.get("bs_g", ()), c.get("bs_d", ()),
+                                    c.get("bs_mu", ())):
+            # box face vs body sphere: corner quadrature on a spherical
+            # "ground" (spec: contact/geometry.py bs section)
+            bb = c["box_body"][bx]
+            Rw = Rs[bb] @ c["box_rot"][bx]
+            pw = ps[bb] + Rs[bb] @ c["box_pos"][bx]
+            half = c["box_half"][bx]
+            cen = centers[s]
+            r = c["sph_radius"][s]
+            dirv = cen - pw
+            nbar = dirv / max(np.linalg.norm(dirv), 1e-9)
+            nb_ax = np.abs(nbar @ Rw)
+            a_proj = 4.0 * (half[1] * half[2] * nb_ax[0]
+                            + half[0] * half[2] * nb_ax[1]
+                            + half[0] * half[1] * nb_ax[2])
+            K1 = g * a_proj / 4.0
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    for sz in (-1, 1):
+                        corner = pw + Rw @ (np.array([sx, sy, sz]) * half)
+                        delta = corner - cen
+                        dist = np.linalg.norm(delta)
+                        phi = r - dist
+                        n = delta / max(dist, 1e-9)
+                        out.append((phi, n,
+                                    rel_jac(bb, c["sph_body"][s], corner),
+                                    0.0, dd, mu, K1))
         for bx, hgeom, g, dd, mu in zip(c["pair_bh_b"], c["pair_bh_h"],
                                         c["bh_g"], c["bh_d"], c["bh_mu"]):
             bb = c["box_body"][bx]
