@@ -209,4 +209,21 @@ def run(cfg: Config = Config(), stream=None):
 
 
 if __name__ == "__main__":
-    run()
+    import sys
+
+    if "--live" in sys.argv:
+        # live per-resolve viewing (the reference's visualizer role,
+        # mini_cheetah.py:208-213): open /tmp/cheetah_live.html in a
+        # browser while this runs — it auto-reloads every 2 s
+        from drake_ddp_tpu.viz.stream import MPCStream
+
+        _cfg = Config()
+        _system, _model = build_system(_cfg)
+        _stream = MPCStream(replan_steps=_cfg.replan_steps,
+                            live_path="/tmp/cheetah_live.html",
+                            model=_model, contact=_system.params[1],
+                            dt=_cfg.dt)
+        run(_cfg, stream=_stream)
+        print("live player: /tmp/cheetah_live.html")
+    else:
+        run()

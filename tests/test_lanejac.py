@@ -196,3 +196,45 @@ def test_root_seeded_jac_matches_full_newton():
                                rtol=2e-3, atol=1e-4)
     # system wiring: plant attaches the root twin
     assert system.lane_jac_root_fn is not None
+
+
+def test_root_derivs_all_keypoint_methods():
+    """compute_derivatives_batched(root=True) == root=False across every
+    keypoint schedule (the setInterval bench path is covered above; this
+    pins the adaptiveJerk and iterativeError gather paths, which thread
+    x_{t+1} through dynamic keypoint orderings)."""
+    from drake_ddp_tpu.examples import mini_cheetah as mc
+
+    cfg = mc.Config(contact_iters=8)
+    system, _ = mc.build_system(cfg)
+    x0, _ = mc.initial_and_target(cfg)
+    N, B = 12, 3
+    rng = np.random.default_rng(9)
+    u = jnp.asarray(
+        np.tile(np.asarray(mc.U_STAND, np.float32), (B, N - 1, 1))
+        + 0.3 * rng.standard_normal((B, N - 1, system.m)).astype(np.float32))
+    x0b = np.tile(np.asarray(x0, np.float32), (B, 1))
+    x0b[:, 19:] += 0.05 * rng.standard_normal((B, 18)).astype(np.float32)
+    x = jax.vmap(system.rollout)(jnp.asarray(x0b), u)
+
+    configs = [
+        kp.DerivsInterpolation("adaptiveJerk", minN=2, maxN=6,
+                               jerk_threshold=0.1, max_keypoints=8),
+        kp.DerivsInterpolation("iterativeError", minN=2,
+                               iterative_error_threshold=1e-3,
+                               max_keypoints=6),
+        kp.DerivsInterpolation("iterativeError", minN=2,
+                               iterative_error_threshold=1e-3),
+    ]
+    scale = None
+    for dcfg in configs:
+        fxf, fuf, pf = kp.compute_derivatives_batched(
+            system.lane_jac_fn, dcfg, x, u, root=False)
+        fxr, fur, pr = kp.compute_derivatives_batched(
+            system.lane_jac_root_fn, dcfg, x, u, root=True)
+        scale = float(np.abs(np.asarray(fxf)).max())
+        assert float(np.abs(np.asarray(fxr - fxf)).max()) <= 3e-4 * scale, dcfg
+        np.testing.assert_allclose(np.asarray(fur), np.asarray(fuf),
+                                   rtol=5e-3, atol=2e-4, err_msg=str(dcfg))
+        np.testing.assert_allclose(np.asarray(pr), np.asarray(pf),
+                                   atol=1e-4, err_msg=str(dcfg))
