@@ -211,3 +211,20 @@ def test_articulated_gripper_builds_and_steps():
         jnp.asarray(model.default_q()))
     x1 = system.step(x, jnp.zeros(model.nu))
     assert bool(jnp.all(jnp.isfinite(x1)))
+
+
+def test_panda_forward_full_scenario_golden():
+    """Reference panda_fr3.py 'forward' task at the reference's
+    delta=1e-3 (the round-5 default): the ball rolls essentially the
+    whole 20 cm (recorded: 0.1991, cost 1.5345 — unchanged from the
+    old delta=1e-5 pin)."""
+    from drake_ddp_tpu.examples import panda_fr3 as pf
+
+    cfg = dataclasses.replace(pf.Config(), scenario="forward",
+                              verbose=False)
+    ilqr = pf.build_solver(cfg)
+    x, u, t, c = ilqr.Solve()
+    assert c == pytest.approx(1.5345, rel=0.02)
+    x0, _ = pf.scenario_states(cfg)
+    assert float(x[11, -1] - x0[11]) > 0.15
+    assert float(x[13].min()) > 0.08

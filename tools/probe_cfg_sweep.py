@@ -36,9 +36,9 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
-MAX_ITERS = 12
+MAX_ITERS = 8          # bench.py parity (round 5)
 FREEZE_AFTER = 3
-COST_CEILING = 150.0
+COST_CEILING = 1000.0  # bench.py parity (tight 150 kills recovering rescues)
 # batch size override (chip-throughput scaling probe): runs/s/chip is
 # lanes * resolves/s / 100, so a larger batch wins if latency grows
 # sublinearly
