@@ -262,6 +262,10 @@ def main():
             "resolves_measured": total_resolves,
             "run_unit_resolves": 100,
             "max_iters": MAX_ITERS,
+            "contact_iters": 8,
+            "ls_parallel": 2,
+            "eps_min": 1e-3,
+            "keypoint_interval": 8,
             "seconds_total": round(elapsed, 2),
             "resolves_per_s_per_chip": round(resolves_per_s, 1),
             "mean_diverged_fraction": round(diverged / NUM_CHUNKS, 4),
