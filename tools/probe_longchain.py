@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(__file__))
 
 
-def main(num_chunks=50, batch=256, eps_min=1e-3, max_iters=8):
+def main(num_chunks=50, batch=256, eps_min=1e-3, max_iters=8,
+         freeze_after=3):
     import jax
 
     try:
@@ -49,7 +50,7 @@ def main(num_chunks=50, batch=256, eps_min=1e-3, max_iters=8):
     N = scfg.num_steps
     mpcc = MPCConfig(num_resolves=5, replan_steps=rs,
                      policy_warm_start=True, freeze_diverged=True,
-                     freeze_after=3, resolve_cost_ceiling=1e3)
+                     freeze_after=freeze_after, resolve_cost_ceiling=1e3)
     rescue_u = jnp.tile(jnp.asarray(mc.U_STAND, jnp.float32), (N - 1, 1))
     fn = jax.jit(lambda p, c: mpc_solve_batched(system, scfg, p, mpcc,
                                                 shift, consec0=c,
@@ -104,7 +105,7 @@ def main(num_chunks=50, batch=256, eps_min=1e-3, max_iters=8):
     half = num_chunks // 2
     out = {
         "resolves": resolves, "batch": batch, "eps_min": eps_min,
-        "max_iters": max_iters,
+        "max_iters": max_iters, "freeze_after": freeze_after,
         "seconds": round(el, 1),
         "runs_per_s_chip": round(batch * resolves / el / 100.0, 4),
         "dead_final": series["dead"][-1],
@@ -123,4 +124,5 @@ if __name__ == "__main__":
     a = sys.argv[1:]
     main(int(a[0]) if a else 50, int(a[1]) if len(a) > 1 else 256,
          float(a[2]) if len(a) > 2 else 1e-3,
-         int(a[3]) if len(a) > 3 else 8)
+         int(a[3]) if len(a) > 3 else 8,
+         int(a[4]) if len(a) > 4 else 3)
